@@ -1,0 +1,147 @@
+"""Next-event estimation: explicit light sampling + VPL gather.
+
+Re-derivation of ``SampleLights`` (``geomfunc.h:152-207``) and
+``SampleLightsDevice`` incl. the virtual-point-light gather
+(``device.cu:457-542``), vectorized over ray lanes.
+
+The set of emissive spheres is passed as a *static* index tuple
+(``light_idx``) computed once from the scene at setup: this keeps the
+shadow-ray tensor at ``[N, L, S]`` (L = number of lights, typically 1-3)
+instead of ``[N, S, S]``, and keeps shapes static under jit. Gradients
+w.r.t. emission still flow; re-derive the tuple if an optimizer zeroes or
+un-zeroes an emitter.
+
+Estimator pinned to the reference: per light, one uniform sample on the
+*whole* sphere surface, rejected when it faces away (``wo > 0`` branch,
+``geomfunc.h:188-193``), contribution ``e * gain * (4 pi r^2) * wi * wo /
+len^2`` — the reference's area-formulation without solid-angle conversion
+(``geomfunc.h:199-200``). CPU golden uses gain=10, GPU gain=1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    EPSILON,
+    IntegratorConfig,
+    Scene,
+    VplBuffer,
+)
+from gpu_bidirectional_raytracer_tpu.integrators import intersect as isect
+from gpu_bidirectional_raytracer_tpu.integrators.sampling import uniform_sphere
+
+_TINY = 1e-20
+
+
+def static_light_indices(scene: Scene) -> tuple[int, ...]:
+    """Host-side: indices of emissive spheres (order = scan order)."""
+    import numpy as np
+
+    e = np.asarray(scene.e)
+    return tuple(int(i) for i in range(e.shape[0]) if np.any(e[i] != 0.0))
+
+
+def sample_direct(scene: Scene, cfg: IntegratorConfig,
+                  light_idx: tuple[int, ...],
+                  hp: Array, nl: Array, light_u: Array) -> Array:
+    """Direct lighting at ``hp [N,3]`` with shading normal ``nl [N,3]``.
+
+    ``light_u``: uniforms ``[S, 2, N]`` addressed by *sphere* index so the
+    golden model indexes the identical tape.
+    Returns radiance ``[N, 3]`` (before throughput multiply).
+    """
+    n = hp.shape[0]
+    if not light_idx:
+        return jnp.zeros((n, 3), dtype=hp.dtype)
+
+    li = jnp.asarray(light_idx, dtype=jnp.int32)            # [L]
+    lp = scene.p[li]                                        # [L, 3]
+    lrad = scene.rad[li]                                    # [L]
+    le = scene.e[li]                                        # [L, 3]
+
+    u1 = light_u[li, 0, :].T                                # [N, L]
+    u2 = light_u[li, 1, :].T                                # [N, L]
+    usp = uniform_sphere(u1, u2)                            # [N, L, 3]
+    sphere_point = lp[None, :, :] + lrad[None, :, None] * usp
+
+    sdir = sphere_point - hp[:, None, :]                    # [N, L, 3]
+    length = jnp.sqrt(jnp.sum(sdir * sdir, axis=-1))        # [N, L]
+    sdir = sdir / jnp.maximum(length, _TINY)[..., None]
+
+    wo = jnp.sum(sdir * usp, axis=-1)                       # [N, L]
+    facing = wo <= 0.0                                      # reject far hemisphere
+    wo = -wo
+    wi = jnp.sum(sdir * nl[:, None, :], axis=-1)            # [N, L]
+
+    nl_rays = sdir.reshape(-1, 3)
+    occluded = isect.intersect_p(
+        scene,
+        jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3),
+        nl_rays,
+        (length - EPSILON).reshape(-1),
+    ).reshape(length.shape)                                  # [N, L]
+
+    contrib_mask = facing & (wi > 0.0) & jnp.logical_not(occluded)
+    scale = (4.0 * jnp.pi * lrad * lrad)[None, :] * wi * wo / jnp.maximum(
+        length * length, _TINY)
+    contrib = le[None, :, :] * (cfg.light_gain * scale)[..., None]
+    contrib = jnp.where(contrib_mask[..., None], contrib, 0.0)
+    return jnp.sum(contrib, axis=1)
+
+
+def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
+                vlp_index: Array, hp: Array, nl: Array) -> Array:
+    """VPL gather at ``hp`` (``device.cu:507-539``), returns ``[N, 3]``.
+
+    Window: depths ``0..vpl_depth`` x lanes ``vlp_index..vlp_index+max_vlp``
+    with wraparound modulo ``light_points`` (the reference slides the window
+    off the end of ``dev_lp`` — SURVEY.md 2.20 documents the intent; we wrap).
+    Virtual shadow rays use the vacuum any-hit so they pass through emitters.
+    Result is averaged by ``1/(vpl_depth * max_vlp)``.
+    """
+    d_, v_ = cfg.vpl_depth, cfg.max_vlp
+    lanes = (vlp_index + jnp.arange(v_)) % cfg.light_points        # [V]
+    w_hp = vpls.hp[:d_, lanes].reshape(-1, 3)                      # [K, 3]
+    w_rad = vpls.rad[:d_, lanes].reshape(-1, 3)
+    w_nl = vpls.nl[:d_, lanes].reshape(-1, 3)
+    w_valid = vpls.valid[:d_, lanes].reshape(-1)                   # [K]
+    k = w_hp.shape[0]
+
+    sdir = w_hp[None, :, :] - hp[:, None, :]                       # [N, K, 3]
+    length = jnp.sqrt(jnp.sum(sdir * sdir, axis=-1))
+    sdir = sdir / jnp.maximum(length, _TINY)[..., None]
+
+    wo = jnp.sum(sdir * w_nl[None, :, :], axis=-1)                 # [N, K]
+    facing = wo <= 0.0
+    wo = -wo
+    wi = jnp.sum(sdir * nl[:, None, :], axis=-1)
+
+    occluded = isect.intersect_p_vacuum(
+        scene,
+        jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3),
+        sdir.reshape(-1, 3),
+        (length - EPSILON).reshape(-1),
+    ).reshape(length.shape)
+
+    mask = facing & (wi > 0.0) & jnp.logical_not(occluded) & w_valid[None, :]
+    contrib = w_rad[None, :, :] * (wi * wo)[..., None]
+    contrib = jnp.where(mask[..., None], contrib, 0.0)
+    return jnp.sum(contrib, axis=1) / jnp.float32(k)
+
+
+def sample_lights(scene: Scene, cfg: IntegratorConfig,
+                  light_idx: tuple[int, ...],
+                  hp: Array, nl: Array, light_u: Array,
+                  vpls: VplBuffer | None = None,
+                  vlp_index: Array | None = None) -> Array:
+    """Full NEE: direct + (optionally) VPL gather with the reference's
+    ``(direct + vpl_avg) / 2`` combine (``device.cu:538-540``)."""
+    direct = sample_direct(scene, cfg, light_idx, hp, nl, light_u)
+    if not cfg.use_vpl or vpls is None:
+        return direct
+    vpl = gather_vpls(scene, cfg, vpls, vlp_index, hp, nl)
+    total = direct + vpl
+    return total * 0.5 if cfg.combine_half else total

@@ -1,0 +1,97 @@
+"""Vectorized ray-sphere intersection.
+
+Re-derivation of the reference's quadratic solver + linear scans
+(``geomfunc.h:31-150``, ``device.cu:80-154``) as all-pairs [N rays, S spheres]
+batched math. TPU-first formulation: the two ray-sphere dot products are
+decomposed so the cross terms become two ``[N,3] @ [3,S]`` matmuls that ride
+the MXU —
+
+    b    = op . d        = (p . d) - (o . d)         (p.d is a matmul)
+    opop = |op|^2        = |p|^2 - 2 (o . p) + |o|^2 (o.p is a matmul)
+
+with the remaining work elementwise on the VPU. The all-pairs min-reduce is
+the same algorithm as the reference's per-thread scan (right for <=~800
+spheres; complex.scn has 783) but with no divergence and full lane occupancy.
+
+Semantics pinned to the reference:
+
+- accept the smaller positive root if > EPSILON else the larger if > EPSILON
+  else miss (``geomfunc.h:47-57``);
+- nearest-hit strict '<' scan from i = S-1 down to 0 (``geomfunc.h:122-129``)
+  — ties keep the higher index; we use argmin over distance which keeps the
+  lower index, a measure-zero difference documented here;
+- any-hit with max distance for shadow rays (``geomfunc.h:134-150``);
+- "vacuum" any-hit that ignores emissive spheres so VPL shadow rays pass
+  through lights (``device.cu:141-154``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from gpu_bidirectional_raytracer_tpu.core.types import EPSILON, Scene
+
+_BIG = 1e20  # reference's 'inf' initializer (geomfunc.h:120)
+
+
+def sphere_distances(scene: Scene, o: Array, d: Array,
+                     eps: float = EPSILON, method: str = "direct") -> Array:
+    """All-pairs hit distances ``[N, S]``; 0 where no hit (reference encoding).
+
+    ``o``/``d``: ray origins/unit directions ``[N, 3]``.
+
+    ``method='direct'`` evaluates ``op = p - o`` exactly as the reference
+    quadratic does — bit-compatible with the golden model. ``method='mxu'``
+    algebraically expands the two dot products so the cross terms become
+    ``[N,3] @ [3,S]`` matmuls on the MXU; same roots to ~1e-3 absolute at
+    Cornell scale (giant 1e4-radius wall spheres dominate the conditioning
+    either way).
+    """
+    p, rad = scene.p, scene.rad
+    if method == "mxu":
+        p_dot_d = jnp.dot(d, p.T, preferred_element_type=jnp.float32)   # [N, S]
+        o_dot_p = jnp.dot(o, p.T, preferred_element_type=jnp.float32)   # [N, S]
+        o_dot_d = jnp.sum(o * d, axis=-1, keepdims=True)                # [N, 1]
+        p_sq = jnp.sum(p * p, axis=-1)[None, :]                         # [1, S]
+        o_sq = jnp.sum(o * o, axis=-1, keepdims=True)                   # [N, 1]
+        b = p_dot_d - o_dot_d
+        opop = p_sq - 2.0 * o_dot_p + o_sq
+    else:
+        op = p[None, :, :] - o[:, None, :]                              # [N, S, 3]
+        b = jnp.sum(op * d[:, None, :], axis=-1)
+        opop = jnp.sum(op * op, axis=-1)
+    det = b * b - opop + (rad * rad)[None, :]
+
+    hit = det >= 0.0
+    sq = jnp.sqrt(jnp.where(hit, det, 0.0))
+    t1 = b - sq
+    t2 = b + sq
+    t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+    return jnp.where(hit, t, 0.0)
+
+
+def intersect(scene: Scene, o: Array, d: Array) -> tuple[Array, Array, Array]:
+    """Nearest hit: returns ``(hit [N] bool, t [N], id [N] int32)``.
+
+    Mirrors ``Intersect`` (``geomfunc.h:111-132``): nearest positive distance,
+    miss when every sphere returns 0.
+    """
+    ts = sphere_distances(scene, o, d)
+    masked = jnp.where(ts > 0.0, ts, _BIG)
+    t = jnp.min(masked, axis=-1)
+    idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+    return t < _BIG, t, idx
+
+
+def intersect_p(scene: Scene, o: Array, d: Array, maxt: Array) -> Array:
+    """Any-hit within ``maxt`` (``geomfunc.h:134-150``). ``maxt``: [N]."""
+    ts = sphere_distances(scene, o, d)
+    return jnp.any((ts > 0.0) & (ts < maxt[:, None]), axis=-1)
+
+
+def intersect_p_vacuum(scene: Scene, o: Array, d: Array, maxt: Array) -> Array:
+    """Any-hit ignoring emissive spheres (``device.cu:141-154``)."""
+    ts = sphere_distances(scene, o, d)
+    blocker = jnp.logical_not(scene.is_light())[None, :]
+    return jnp.any((ts > 0.0) & (ts < maxt[:, None]) & blocker, axis=-1)

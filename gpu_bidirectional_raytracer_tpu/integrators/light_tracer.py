@@ -1,0 +1,149 @@
+"""Light-subpath tracer: emits rays from emitters and deposits VPLs.
+
+TPU re-design of the light pass: ``GetRayKernel`` (``device.cu:167-219``)
+plus ``RadianceLightTracingKernel`` (``device.cu:222-455``). The committed
+reference kernel cannot compile (half-done rename, SURVEY.md 2.13); this
+implements its documented *intent*:
+
+- each of ``light_points`` lanes walks one subpath from a point on a light
+  sphere, direction cosine-sampled about the outward normal;
+- initial throughput = light emission / 4 (``device.cu:268``);
+- a lane that escapes the scene at a given depth deposits an "environment"
+  VPL at its current origin with rad = emission/2 and inward normal
+  (``device.cu:279-293``);
+- a diffuse hit multiplies throughput by albedo under the TOL guard and
+  deposits ``{hit_point, throughput, shading_normal}`` at
+  ``[depth, lane]`` (``device.cu:314-346``);
+- mirror/glass bounces continue without depositing; hitting an emitter
+  terminates (``device.cu:296-298``).
+
+Divergences from the (broken) reference, on purpose:
+- ``VecMultiply``'s component-freeze semantics (``device.cu:10-42``) are
+  replaced by their stated intent — "Removed Russian Roulette ... SIMT"
+  — a throughput-kill: the lane dies when max component <= TOL.
+- with multiple emitters the reference re-runs the kernel per light into the
+  SAME buffer, so only the last light's VPLs survive
+  (``smallpt_cpu.c:311-358``); we round-robin lanes across lights instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from gpu_bidirectional_raytracer_tpu import rng
+from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    DIFF,
+    IntegratorConfig,
+    Rays,
+    Scene,
+    VplBuffer,
+)
+from gpu_bidirectional_raytracer_tpu.integrators import bsdf
+from gpu_bidirectional_raytracer_tpu.integrators import intersect as isect
+from gpu_bidirectional_raytracer_tpu.integrators.sampling import (
+    cosine_hemisphere,
+    uniform_sphere,
+)
+
+
+def emit_light_rays(scene: Scene, cfg: IntegratorConfig,
+                    light_idx: tuple[int, ...], key: Array,
+                    sample: Array) -> tuple[Rays, Array, Array]:
+    """Sample ``light_points`` emission rays (``GetRayKernel`` intent).
+
+    Returns (rays, lane_light_id [N], lane_emission [N,3]). Lanes are
+    round-robined across the static light set.
+    """
+    n = cfg.light_points
+    li = jnp.asarray(light_idx, dtype=jnp.int32)
+    lane_light = li[jnp.arange(n) % len(light_idx)]          # [N]
+    lp = scene.p[lane_light]
+    lrad = scene.rad[lane_light]
+    le = scene.e[lane_light]
+
+    u = rng.pixel_uniforms(key, sample, 0, rng.LIGHT_RAY_UV,
+                           jnp.arange(n), 4)
+    usp = uniform_sphere(u[0], u[1])                         # outward normal
+    origin = lp + lrad[:, None] * usp
+    direction = cosine_hemisphere(usp, u[2], u[3])
+    return Rays(o=origin, d=direction), lane_light, le
+
+
+def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
+                      light_idx: tuple[int, ...], key: Array,
+                      sample: Array) -> VplBuffer:
+    """Walk light subpaths and fill a fresh :class:`VplBuffer`."""
+    rays, lane_light, le = emit_light_rays(scene, cfg, light_idx, key, sample)
+    n = cfg.light_points
+    lane_lp = scene.p[lane_light]
+    lane_lrad = scene.rad[lane_light]
+
+    o, d = rays.o, rays.d
+    throughput = le * 0.25                                   # device.cu:268
+    alive = jnp.ones((n,), dtype=bool)
+
+    hp_out = jnp.zeros((cfg.vpl_depth, n, 3), dtype=jnp.float32)
+    rad_out = jnp.zeros_like(hp_out)
+    nl_out = jnp.zeros_like(hp_out)
+    valid_out = jnp.zeros((cfg.vpl_depth, n), dtype=bool)
+
+    # vpl_depth is small (1 by default) — unrolled python loop keeps the
+    # per-depth deposit rows statically indexed.
+    for depth in range(cfg.vpl_depth):
+        hit, t, hit_id = isect.intersect(scene, o, d)
+        hit_id = jax.lax.stop_gradient(hit_id)
+        t = jnp.where(hit, t, 1.0)
+
+        obj_p = jnp.take(scene.p, hit_id, axis=0)
+        obj_e = jnp.take(scene.e, hit_id, axis=0)
+        obj_c = jnp.take(scene.c, hit_id, axis=0)
+        obj_refl = jnp.take(scene.refl, hit_id, axis=0)
+
+        hp = o + vm.smul(t, d)
+        normal = vm.norm(hp - obj_p, eps=1e-20)
+        dp = vm.dot(normal, d)
+        nl = vm.smul(jnp.where(dp > 0.0, -1.0, 1.0), normal)
+
+        # Escaped lane: environment VPL at the ray origin, inward normal
+        # -(o - light.p)/light.rad, rad = emission/2 (device.cu:279-293).
+        env_nl = -(o - lane_lp) / jnp.maximum(lane_lrad, 1e-20)[:, None]
+        env_rad = le * 0.5
+        env_mask = alive & jnp.logical_not(hit)
+
+        is_emitter = jnp.logical_not(vm.is_zero(obj_e))
+        is_diff = obj_refl == DIFF
+
+        # Diffuse deposit uses throughput AFTER the albedo multiply
+        # (device.cu:317, 336) under the TOL kill guard.
+        tp_diff = throughput * obj_c
+        deposit_mask = alive & hit & jnp.logical_not(is_emitter) & is_diff
+
+        slot_hp = jnp.where(env_mask[:, None], o,
+                            jnp.where(deposit_mask[:, None], hp, 0.0))
+        slot_rad = jnp.where(env_mask[:, None], env_rad,
+                             jnp.where(deposit_mask[:, None], tp_diff, 0.0))
+        slot_nl = jnp.where(env_mask[:, None], env_nl,
+                            jnp.where(deposit_mask[:, None], nl, 0.0))
+        slot_valid = env_mask | deposit_mask
+
+        hp_out = hp_out.at[depth].set(slot_hp)
+        rad_out = rad_out.at[depth].set(slot_rad)
+        nl_out = nl_out.at[depth].set(slot_nl)
+        valid_out = valid_out.at[depth].set(slot_valid)
+
+        # Continue the walk (only matters when vpl_depth > 1).
+        alive = alive & hit & jnp.logical_not(is_emitter)
+        u = rng.pixel_uniforms(key, sample, depth, rng.LIGHT_SCATTER,
+                               jnp.arange(n), 3)
+        sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl, u[0], u[1], u[2])
+        live = alive[:, None]
+        o = jnp.where(live, hp, o)
+        d = jnp.where(live, sc.new_d, d)
+        throughput = jnp.where(live, throughput * sc.tp_mul, throughput)
+        # Throughput-kill replaces VecMultiply's freeze (device.cu:10-42).
+        alive = alive & (vm.max_component(throughput) > cfg.throughput_tol)
+
+    return VplBuffer(hp=hp_out, rad=rad_out, nl=nl_out, valid=valid_out)

@@ -1,0 +1,130 @@
+"""Vectorized eye-path tracer.
+
+The TPU re-design of ``RadiancePathTracingKernel`` (``device.cu:544-791``)
+and its CPU golden twin ``RadiancePathTracing`` (``geomfunc.h:473-644``).
+
+Shape: instead of one CUDA thread per pixel with divergent `break`s, an SoA
+batch of N rays advances one bounce per `lax.fori_loop` iteration with an
+``alive`` mask — dead lanes simply stop contributing. Depth cutoff is the
+loop bound (the reference's ``depth > 6``). All randomness is drawn from
+counter-based streams addressed by (sample, depth, purpose), identical to
+the golden model's tape.
+
+Also provides `trace_direct`, the direct-lighting-only integrator
+(``RadianceDirectLighting``, ``geomfunc.h:646-789``): identical walk, but a
+diffuse vertex terminates after NEE instead of scattering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from gpu_bidirectional_raytracer_tpu import rng
+from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    DIFF,
+    IntegratorConfig,
+    Rays,
+    Scene,
+    VplBuffer,
+)
+from gpu_bidirectional_raytracer_tpu.integrators import bsdf
+from gpu_bidirectional_raytracer_tpu.integrators import direct as nee
+from gpu_bidirectional_raytracer_tpu.integrators import intersect as isect
+
+
+def _gather(arr: Array, idx: Array) -> Array:
+    return jnp.take(arr, idx, axis=0)
+
+
+def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
+          rays: Rays, key: Array, sample: Array, pixel_ids: Array,
+          vpls: VplBuffer | None = None, vlp_index: Array | None = None,
+          direct_only: bool = False) -> Array:
+    """Trace a batch of eye rays to radiance ``[N, 3]``.
+
+    ``key``/``sample``/``pixel_ids`` address the random tape; the same
+    coordinates fed to the golden model reproduce this result to float
+    tolerance, independent of tiling or sharding.
+    """
+    n = rays.o.shape[0]
+    n_spheres = scene.num_spheres
+
+    def body(depth, state):
+        o, d, rad, throughput, specular, alive = state
+
+        hit, t, hit_id = isect.intersect(scene, o, d)
+        hit_id = jax.lax.stop_gradient(hit_id)
+        alive = alive & hit
+        # Missed lanes carry t = 1e20; clamp so downstream dead-lane math
+        # stays finite (results are masked out, but inf*0 breeds NaNs).
+        t = jnp.where(hit, t, 1.0)
+
+        obj_p = _gather(scene.p, hit_id)
+        obj_e = _gather(scene.e, hit_id)
+        obj_c = _gather(scene.c, hit_id)
+        obj_refl = _gather(scene.refl, hit_id)
+
+        # Reparameterized hit point: t is differentiable through the root
+        # formula; the discrete hit id is stopped above.
+        hp = o + vm.smul(t, d)
+        normal = vm.norm(hp - obj_p, eps=1e-20)
+        dp = vm.dot(normal, d)
+        # sign(x) in the reference maps 0 -> -1 (vec.h:31)
+        inv_sign_dp = jnp.where(dp > 0.0, -1.0, 1.0)
+        nl = vm.smul(inv_sign_dp, normal)
+
+        # Emitter hit: add emission on specular chains, then terminate
+        # (geomfunc.h:522-533; scale 10 on CPU path, 1 on GPU path).
+        is_emitter = jnp.logical_not(vm.is_zero(obj_e))
+        emit = vm.smul(cfg.emission_scale * jnp.abs(dp), obj_e) * throughput
+        rad = rad + jnp.where((alive & is_emitter & specular)[:, None], emit, 0.0)
+        alive = alive & jnp.logical_not(is_emitter)
+
+        # NEE at diffuse vertices (geomfunc.h:535-544).
+        is_diff = obj_refl == DIFF
+        tp_after_diff = throughput * obj_c
+        light_u = rng.pixel_uniforms(key, sample, depth, rng.LIGHT_UV,
+                                     pixel_ids, 2 * n_spheres
+                                     ).reshape(n_spheres, 2, n)
+        ld = nee.sample_lights(scene, cfg, light_idx, hp, nl, light_u,
+                               vpls=vpls, vlp_index=vlp_index)
+        rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
+
+        if direct_only:
+            # RadianceDirectLighting: a diffuse vertex is terminal
+            # (geomfunc.h:708-720); specular chains continue.
+            alive = alive & jnp.logical_not(is_diff)
+
+        # Scatter (masked lanes compute everything; select at the end).
+        diff_u = rng.pixel_uniforms(key, sample, depth, rng.DIFF_UV,
+                                    pixel_ids, 2)
+        rr_u = rng.pixel_uniforms(key, sample, depth, rng.REFR_RR,
+                                  pixel_ids, 1)[0]
+        sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl,
+                          diff_u[0], diff_u[1], rr_u)
+
+        live = alive[:, None]
+        o = jnp.where(live, hp, o)
+        d = jnp.where(live, sc.new_d, d)
+        throughput = jnp.where(live, throughput * sc.tp_mul, throughput)
+        specular = jnp.where(alive, sc.specular, specular)
+        return o, d, rad, throughput, specular, alive
+
+    state = (
+        rays.o,
+        rays.d,
+        jnp.zeros((n, 3), dtype=jnp.float32),
+        jnp.ones((n, 3), dtype=jnp.float32),
+        jnp.ones((n,), dtype=bool),      # specularBounce = 1 initially
+        jnp.ones((n,), dtype=bool),
+    )
+    state = jax.lax.fori_loop(0, cfg.max_depth, body, state)
+    return state[2]
+
+
+trace_direct = partial(trace, direct_only=True)

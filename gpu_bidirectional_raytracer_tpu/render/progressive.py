@@ -1,0 +1,177 @@
+"""Progressive bidirectional render scheduler.
+
+Replaces the reference's GLUT-driven ``flag`` state machine
+(``IdleFunc``/``UpdateRendering``/``UpdateRendering2``,
+``display_func.c:192-217`` + ``smallpt_cpu.c:265-362``) with an explicit,
+functional schedule. The reference's machine has two documented defects —
+the light pass never re-fires from the idle loop and ``vlp_index`` slides
+off the end of ``dev_lp`` (SURVEY.md 2.20) — this implements the *intent*:
+
+    every (MAX_ITER - 1) eye passes: refresh the VPL buffer and advance the
+    gather window by MAX_VLP (wrapping modulo LIGHT_POINTS).
+
+One :func:`render_pass` = one fused jitted step: (conditionally) trace
+light subpaths, trace one eye sample for every pixel, and fold the result
+into the running per-pixel mean (``device.cu:774-788``). All state lives in
+a :class:`RenderState` pytree that stays device-resident across passes —
+the TPU analogue of ``dev_colors``/``dev_counter`` never leaving HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from gpu_bidirectional_raytracer_tpu import camera as cam_mod
+from gpu_bidirectional_raytracer_tpu import rng
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    Camera,
+    IntegratorConfig,
+    RenderState,
+    Scene,
+    VplBuffer,
+)
+from gpu_bidirectional_raytracer_tpu.integrators import light_tracer, path_tracer
+from gpu_bidirectional_raytracer_tpu.integrators.direct import static_light_indices
+
+
+def init_state(width: int, height: int, cfg: IntegratorConfig,
+               seed: int = 0) -> RenderState:
+    """Fresh accumulation state (the ``ReInit`` analogue, smallpt_cpu.c:373)."""
+    return RenderState(
+        colors=jnp.zeros((height, width, 3), dtype=jnp.float32),
+        counter=jnp.zeros((height, width), dtype=jnp.int32),
+        vpls=VplBuffer.zeros(cfg.vpl_depth, cfg.light_points),
+        vlp_index=jnp.int32(0),
+        sample=jnp.int32(0),
+        key=jax.random.key(seed),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx", "direct_only"))
+def render_pass(scene: Scene, cam: Camera, state: RenderState,
+                cfg: IntegratorConfig, width: int, height: int,
+                light_idx: tuple[int, ...],
+                direct_only: bool = False) -> RenderState:
+    """One progressive pass over every pixel. Pure; jitted once per config."""
+    n = width * height
+    px, py = cam_mod.pixel_grid(width, height)
+    pixel_ids = px + py * width
+
+    # -- Bidirectional schedule: refresh VPLs + slide window when due.
+    if cfg.use_vpl and light_idx:
+        period = max(cfg.max_iter - 1, 1)
+        due = (state.sample % period) == 0
+
+        def refresh(_):
+            vpls = light_tracer.trace_light_paths(
+                scene, cfg, light_idx, state.key, state.sample)
+            vlp_index = jnp.where(
+                state.sample == 0,
+                jnp.int32(0),
+                (state.vlp_index + cfg.max_vlp) % cfg.light_points)
+            return vpls, vlp_index
+
+        vpls, vlp_index = jax.lax.cond(
+            due, refresh, lambda _: (state.vpls, state.vlp_index), None)
+    else:
+        vpls, vlp_index = state.vpls, state.vlp_index
+
+    # -- Eye pass: one jittered sample per pixel (device.cu:560-600).
+    jit_uv = rng.pixel_uniforms(state.key, state.sample, 0, rng.CAM_JITTER,
+                                pixel_ids, 2)
+    rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
+                                px, py)
+    radiance = path_tracer.trace(
+        scene, cfg, light_idx, rays, state.key, state.sample, pixel_ids,
+        vpls=vpls if cfg.use_vpl else None,
+        vlp_index=vlp_index,
+        direct_only=direct_only,
+    ).reshape(height, width, 3)
+
+    # -- Progressive mean (device.cu:774-782).
+    k1 = state.counter.astype(jnp.float32)[..., None]
+    colors = (state.colors * k1 + radiance) / (k1 + 1.0)
+
+    return RenderState(
+        colors=colors,
+        counter=state.counter + 1,
+        vpls=vpls,
+        vlp_index=vlp_index,
+        sample=state.sample + 1,
+        key=state.key,
+    )
+
+
+class Renderer:
+    """Convenience driver bundling scene + camera + config.
+
+    The headless successor of the GLUT loop: `step` is one progressive
+    pass; camera/scene edits go through `move_camera` / `edit_sphere`
+    (the UI key analogues) which reset accumulation like ``ReInitScene``.
+    """
+
+    def __init__(self, scene: Scene, cam_orig: Sequence[float],
+                 cam_target: Sequence[float], width: int, height: int,
+                 cfg: IntegratorConfig | None = None, seed: int = 0,
+                 reference_dims: bool = False):
+        if reference_dims:
+            width, height = cam_mod.reference_dims(width, height)
+        self.cfg = cfg or IntegratorConfig()
+        self.width, self.height = width, height
+        self.scene = scene
+        self.camera = Camera.make(cam_orig, cam_target, width, height,
+                                  self.cfg.fov_deg)
+        self.light_idx = static_light_indices(scene)
+        self.state = init_state(width, height, self.cfg, seed)
+
+    def step(self, direct_only: bool = False) -> RenderState:
+        self.state = render_pass(self.scene, self.camera, self.state,
+                                 self.cfg, self.width, self.height,
+                                 self.light_idx, direct_only)
+        return self.state
+
+    def render(self, spp: int, direct_only: bool = False) -> np.ndarray:
+        for _ in range(spp):
+            self.step(direct_only)
+        return np.asarray(self.state.colors)
+
+    # -- interactive-equivalent edits (display_func.c:278-437) --------------
+
+    def reset(self) -> None:
+        """``ReInit``: restart accumulation, keep scene+camera."""
+        seed = 0
+        self.state = init_state(self.width, self.height, self.cfg, seed)
+
+    def move_camera(self, axis: str, amount: float) -> None:
+        self.camera = cam_mod.translate(self.camera, axis, amount,
+                                        self.width, self.height)
+        self.reset()
+
+    def rotate_camera(self, axis: str, angle: float) -> None:
+        self.camera = cam_mod.rotate(self.camera, axis, angle,
+                                     self.width, self.height)
+        self.reset()
+
+    def edit_sphere(self, index: int, dp) -> None:
+        """Move sphere ``index`` by ``dp`` (the numpad-edit analogue,
+        ``display_func.c:347-369``) and restart like ``ReInitScene``."""
+        p = self.scene.p.at[index].add(jnp.asarray(dp, dtype=jnp.float32))
+        self.scene = self.scene.replace(p=p)
+        self.light_idx = static_light_indices(self.scene)
+        self.reset()
+
+
+def render_image(scene: Scene, cam_orig, cam_target, width: int, height: int,
+                 spp: int, cfg: IntegratorConfig | None = None,
+                 seed: int = 0, reference_dims: bool = False) -> np.ndarray:
+    """One-call render -> float32 ``[H, W, 3]`` (row 0 = bottom)."""
+    r = Renderer(scene, cam_orig, cam_target, width, height, cfg, seed,
+                 reference_dims)
+    return r.render(spp)

@@ -1,0 +1,127 @@
+"""``.scn`` scene file parser/writer.
+
+Grammar-compatible with the reference parser (``display_func.c:112-175``):
+
+    camera ox oy oz tx ty tz
+    size N
+    sphere rad px py pz er eg eb cr cg cb mat      (N times)
+
+with mat in {0: DIFF, 1: SPEC, 2: REFR, 3: LITE}. The reference hard-exits
+on malformed input; we raise :class:`SceneParseError` with a line number
+instead. Unlike fscanf we also tolerate blank lines and ``#`` comments.
+
+A tiny pure-Python parser is plenty here (the largest shipped scene,
+complex.scn, has 783 spheres); an optional C++ fast path lives in
+``native/`` for bulk workloads.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Union
+
+import numpy as np
+
+from gpu_bidirectional_raytracer_tpu.core.types import Scene
+
+_MATERIALS = frozenset((0, 1, 2, 3))
+
+
+class SceneParseError(ValueError):
+    pass
+
+
+def _tokens(text: str):
+    for lineno, raw in enumerate(text.splitlines(), start=1):
+        line = raw.split("#", 1)[0].strip()
+        if line:
+            yield lineno, line.split()
+
+
+def parse_scene(text: str) -> tuple[np.ndarray, np.ndarray, Scene]:
+    """Parse scene text -> (camera_orig[3], camera_target[3], Scene)."""
+    it = _tokens(text)
+
+    def next_line(expect: str, nfields: int):
+        try:
+            lineno, toks = next(it)
+        except StopIteration:
+            raise SceneParseError(f"unexpected end of scene (expected '{expect}')")
+        if toks[0] != expect:
+            raise SceneParseError(f"line {lineno}: expected '{expect}', got '{toks[0]}'")
+        if len(toks) - 1 != nfields:
+            raise SceneParseError(
+                f"line {lineno}: '{expect}' needs {nfields} fields, got {len(toks) - 1}")
+        return lineno, toks[1:]
+
+    _, cam = next_line("camera", 6)
+    cam = np.asarray([float(v) for v in cam], dtype=np.float32)
+    orig, target = cam[:3], cam[3:]
+
+    lineno, (count,) = next_line("size", 1)
+    count = int(count)
+    if count <= 0:
+        raise SceneParseError(f"line {lineno}: sphere count must be positive")
+
+    rad = np.empty((count,), dtype=np.float32)
+    p = np.empty((count, 3), dtype=np.float32)
+    e = np.empty((count, 3), dtype=np.float32)
+    c = np.empty((count, 3), dtype=np.float32)
+    refl = np.empty((count,), dtype=np.int32)
+    for i in range(count):
+        lineno, f = next_line("sphere", 11)
+        vals = [float(v) for v in f[:10]]
+        mat = int(f[10])
+        if mat not in _MATERIALS:
+            raise SceneParseError(f"line {lineno}: bad material {mat} for sphere #{i}")
+        rad[i] = vals[0]
+        p[i] = vals[1:4]
+        e[i] = vals[4:7]
+        c[i] = vals[7:10]
+        refl[i] = mat
+
+    return orig, target, _scene_from_np(rad, p, e, c, refl)
+
+
+def _scene_from_np(rad, p, e, c, refl) -> Scene:
+    import jax.numpy as jnp
+
+    return Scene(rad=jnp.asarray(rad), p=jnp.asarray(p), e=jnp.asarray(e),
+                 c=jnp.asarray(c), refl=jnp.asarray(refl))
+
+
+def load_scene(path: Union[str, os.PathLike]) -> tuple[np.ndarray, np.ndarray, Scene]:
+    with open(path, "r") as f:
+        return parse_scene(f.read())
+
+
+def write_scene(orig, target, scene: Scene, path_or_file) -> None:
+    """Serialize back to ``.scn`` (round-trips through :func:`parse_scene`)."""
+    own = isinstance(path_or_file, (str, os.PathLike))
+    f = open(path_or_file, "w") if own else path_or_file
+    try:
+        o = np.asarray(orig, dtype=np.float32)
+        t = np.asarray(target, dtype=np.float32)
+        f.write("camera %g %g %g  %g %g %g\n" % (*o, *t))
+        n = int(np.asarray(scene.rad).shape[0])
+        f.write("size %d\n" % n)
+        rad = np.asarray(scene.rad)
+        p = np.asarray(scene.p)
+        e = np.asarray(scene.e)
+        c = np.asarray(scene.c)
+        refl = np.asarray(scene.refl)
+        for i in range(n):
+            f.write("sphere %g  %g %g %g  %g %g %g  %g %g %g  %d\n" % (
+                rad[i], p[i, 0], p[i, 1], p[i, 2],
+                e[i, 0], e[i, 1], e[i, 2],
+                c[i, 0], c[i, 1], c[i, 2], refl[i]))
+    finally:
+        if own:
+            f.close()
+
+
+def dumps_scene(orig, target, scene: Scene) -> str:
+    buf = io.StringIO()
+    write_scene(orig, target, scene, buf)
+    return buf.getvalue()

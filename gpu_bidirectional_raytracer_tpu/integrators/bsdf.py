@@ -34,7 +34,9 @@ class Scatter(NamedTuple):
 
 
 def _safe_sqrt(x: Array) -> Array:
-    return jnp.sqrt(jnp.where(x > 0.0, x, 0.0))
+    # Double-where keeps sqrt gradients finite at/below zero.
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def scatter(refl: Array, albedo: Array, d: Array, normal: Array, nl: Array,

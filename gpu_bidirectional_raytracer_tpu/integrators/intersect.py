@@ -64,7 +64,9 @@ def sphere_distances(scene: Scene, o: Array, d: Array,
     det = b * b - opop + (rad * rad)[None, :]
 
     hit = det >= 0.0
-    sq = jnp.sqrt(jnp.where(hit, det, 0.0))
+    # Double-where: sqrt'(0) = inf would leak NaN into gradients of missed
+    # pairs even though their primal value is masked out.
+    sq = jnp.where(hit, jnp.sqrt(jnp.where(hit, det, 1.0)), 0.0)
     t1 = b - sq
     t2 = b + sq
     t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))

@@ -1,0 +1,71 @@
+"""Device-mesh sharding for multi-chip / multi-host rendering.
+
+The reference is strictly single-GPU (``cudaGLSetGLDevice(
+cutGetMaxGflopsDeviceId())``, ``smallpt_cpu.c:422``) with no communication
+layer at all (SURVEY.md 2.12-bis). This module is the scale-out design the
+TPU build adds as a first-class component:
+
+- a 1-D named mesh over all chips with axis ``"rays"`` — pixels/rays are
+  the renderer's batch dimension, so pure data parallelism over them is the
+  structural analogue of the eye kernel's pixel grid;
+- the image-state pytree (`RenderState.colors`/`counter`) sharded by image
+  rows over ``"rays"`` via `NamedSharding`; scene parameters and the tiny
+  VPL buffer are replicated;
+- GSPMD/pjit propagates the sharding through the whole pass: every chip
+  traces its pixel rows, the only cross-chip traffic is the replicated
+  VPL refresh (an all-gather of ~4096 x 9 floats over ICI) and — in the
+  inverse-rendering path — the `psum` of scene-parameter gradients
+  (~11 floats/sphere);
+- because random draws are addressed by GLOBAL pixel id (`rng.pixel_uniforms`),
+  a 1-chip and an n-chip run produce bitwise-identical images.
+
+Multi-host: call `distributed.initialize_cluster()` first; the same code
+then runs with a global mesh and DCN only at host boundaries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpu_bidirectional_raytracer_tpu.core.types import RenderState, VplBuffer
+
+RAYS_AXIS = "rays"
+
+
+def make_mesh(devices=None, axis: str = RAYS_AXIS) -> Mesh:
+    """A 1-D mesh over the given (default: all) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def state_shardings(mesh: Mesh, axis: str = RAYS_AXIS) -> RenderState:
+    """Sharding pytree for `RenderState`: image rows sharded, rest replicated."""
+    row = NamedSharding(mesh, P(axis))            # [H, W, 3] / [H, W] by rows
+    rep = NamedSharding(mesh, P())
+    return RenderState(
+        colors=row,
+        counter=row,
+        vpls=VplBuffer(hp=rep, rad=rep, nl=rep, valid=rep),
+        vlp_index=rep,
+        sample=rep,
+        key=rep,
+    )
+
+
+def shard_state(state: RenderState, mesh: Mesh,
+                axis: str = RAYS_AXIS) -> RenderState:
+    """Place an existing state onto the mesh (rows over ``axis``).
+
+    Image height must divide the mesh size; pad the image if not.
+    """
+    shardings = state_shardings(mesh, axis)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def pad_height_to(mesh: Mesh, height: int) -> int:
+    """Smallest height >= ``height`` divisible by the mesh size."""
+    n = mesh.size
+    return ((height + n - 1) // n) * n

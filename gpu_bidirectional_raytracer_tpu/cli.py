@@ -1,0 +1,149 @@
+"""Command-line interface: ``render`` and ``optimize``.
+
+The headless replacement for the reference's GLUT event loop + argv handling
+(``smallpt_cpu.c:389-441``: ``smallptCPU [width height scene.scn]``). Same
+positional semantics, plus progressive snapshots, checkpoint/resume, and the
+inverse-rendering driver the reference approximated with keyboard edits.
+
+Usage:
+    python -m gpu_bidirectional_raytracer_tpu.cli render [scene.scn]
+        [--width 640] [--height 480] [--spp 64] [--out out.ppm]
+        [--mode gpu|cpu] [--reference-dims] [--snapshot-every N]
+        [--checkpoint DIR] [--resume]
+    python -m gpu_bidirectional_raytracer_tpu.cli optimize target.ppm
+        [scene.scn] [--steps 100] [--lr 0.05] [--params p,rad,c,e]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _load(scene_path: str | None):
+    from gpu_bidirectional_raytracer_tpu.scene import builtin
+    from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
+
+    if scene_path:
+        return load_scene(scene_path)
+    return (builtin.DEFAULT_CAMERA_ORIG, builtin.DEFAULT_CAMERA_TARGET,
+            builtin.cornell_box())
+
+
+def _config(mode: str):
+    from gpu_bidirectional_raytracer_tpu.core.types import IntegratorConfig
+
+    return (IntegratorConfig.cpu_golden() if mode == "cpu"
+            else IntegratorConfig.gpu())
+
+
+def cmd_render(args) -> int:
+    from gpu_bidirectional_raytracer_tpu.render import film
+    from gpu_bidirectional_raytracer_tpu.render.progressive import Renderer
+    from gpu_bidirectional_raytracer_tpu.utils import checkpoint as ckpt
+
+    orig, target, scene = _load(args.scene)
+    r = Renderer(scene, orig, target, args.width, args.height,
+                 cfg=_config(args.mode), seed=args.seed,
+                 reference_dims=args.reference_dims)
+
+    if args.checkpoint and args.resume:
+        restored = ckpt.restore(args.checkpoint, r.state)
+        if restored is not None:
+            r.state = restored
+            print(f"resumed at sample {int(r.state.sample)}", file=sys.stderr)
+
+    t0 = time.time()
+    start = int(r.state.sample)
+    for s in range(start, args.spp):
+        r.step()
+        if s == start:
+            import jax
+
+            jax.block_until_ready(r.state.colors)
+        if args.snapshot_every and (s + 1) % args.snapshot_every == 0:
+            elapsed = time.time() - t0
+            name = film.snapshot_name(r.cfg.max_vlp, elapsed, s + 1)
+            film.write_ppm(np.asarray(r.state.colors), name)
+            print(f"pass {s + 1}: wrote {name}", file=sys.stderr)
+        if args.checkpoint and (s + 1) % max(args.snapshot_every or 16, 1) == 0:
+            ckpt.save(args.checkpoint, r.state)
+    elapsed = time.time() - t0
+    n = r.width * r.height * (args.spp - start)
+    print(f"Rendered {args.spp - start} passes in {elapsed:.3f}s "
+          f"({n / max(elapsed, 1e-9) / 1e3:.1f}K samples/sec)", file=sys.stderr)
+
+    film.write_ppm(np.asarray(r.state.colors), args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+    if args.checkpoint:
+        ckpt.save(args.checkpoint, r.state)
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    import jax.numpy as jnp
+
+    from gpu_bidirectional_raytracer_tpu.core.types import Camera
+    from gpu_bidirectional_raytracer_tpu.diff.gradients import InverseRenderer
+    from gpu_bidirectional_raytracer_tpu.render import film
+    from gpu_bidirectional_raytracer_tpu.scene.parser import write_scene
+
+    orig, target_cam, scene = _load(args.scene)
+    target_img = film.read_ppm(args.target).astype(np.float32) / 255.0
+    # Invert the gamma quantization to approximate linear radiance.
+    target_lin = jnp.asarray(target_img ** 2.2)
+    h, w, _ = target_img.shape
+    cam = Camera.make(orig, target_cam, w, h)
+
+    inv = InverseRenderer(scene=scene, cam=cam, target=target_lin,
+                          cfg=_config(args.mode), width=w, height=h,
+                          lr=args.lr, spp=args.spp,
+                          optimize=tuple(args.params.split(",")))
+    for i in range(args.steps):
+        loss = inv.step()
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {loss:.6g}", file=sys.stderr)
+    write_scene(orig, target_cam, inv.scene, args.out)
+    print(f"wrote optimized scene to {args.out}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gpu_bidirectional_raytracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="progressive render to PPM")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--out", default="out.ppm")
+    p.add_argument("--mode", choices=("gpu", "cpu"), default="gpu")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--reference-dims", action="store_true",
+                   help="apply the reference's +1 to both axes")
+    p.add_argument("--snapshot-every", type=int, default=0)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("optimize", help="inverse rendering against a target")
+    p.add_argument("target")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--params", default="p,rad")
+    p.add_argument("--mode", choices=("gpu", "cpu"), default="cpu")
+    p.add_argument("--out", default="optimized.scn")
+    p.set_defaults(fn=cmd_optimize)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

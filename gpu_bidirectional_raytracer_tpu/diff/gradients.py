@@ -87,7 +87,9 @@ def render_loss_grad(scene: Scene, cam: Camera, key: Array, target: Array,
         img = render_radiance(sc, cam, key, cfg, width, height, light_idx, spp)
         return l2_loss(img, target)
 
-    return jax.value_and_grad(loss_fn)(scene)
+    # allow_int: the Scene pytree carries the discrete material codes
+    # (int32 refl); their "gradient" is float0 and is never used.
+    return jax.value_and_grad(loss_fn, allow_int=True)(scene)
 
 
 def pixel_grad_fd(scene: Scene, render_fn: Callable[[Scene], Array],
@@ -121,6 +123,7 @@ class InverseRenderer:
     spp: int = 4
     optimize: tuple[str, ...] = ("p", "rad")
     seed: int = 0
+    resample: bool = True  # fresh RNG per step (unbiased) vs fixed tape
     _opt_state: object = None
     _step: int = 0
 
@@ -133,7 +136,9 @@ class InverseRenderer:
         self._opt_state = self._tx.init(params)
 
     def step(self) -> float:
-        key = jax.random.fold_in(jax.random.key(self.seed), self._step)
+        key = jax.random.key(self.seed)
+        if self.resample:
+            key = jax.random.fold_in(key, self._step)
         loss, grads = render_loss_grad(
             self.scene, self.cam, key, self.target, self.cfg,
             self.width, self.height, self.light_idx, self.spp)

@@ -20,10 +20,19 @@ def to_bytes(colors) -> np.ndarray:
     return np.asarray(vm.gamma_to_byte(colors))
 
 
-def write_ppm(colors, path: str | os.PathLike) -> None:
+def write_ppm(colors, path: str | os.PathLike,
+              prefer_native: bool = True) -> None:
     """P3 PPM, rows written top-of-image first (bottom-up buffer order),
-    matching ``SavePPM`` byte layout."""
+    matching ``SavePPM`` byte layout. Uses the C++ encoder when available."""
     img = to_bytes(colors)
+    if prefer_native:
+        try:
+            from gpu_bidirectional_raytracer_tpu import native
+
+            if native.ppm_write(path, img):
+                return
+        except ImportError:
+            pass
     h, w, _ = img.shape
     with open(path, "w") as f:
         f.write(f"P3\n{w} {h}\n255\n")

@@ -91,9 +91,25 @@ def _scene_from_np(rad, p, e, c, refl) -> Scene:
                  c=jnp.asarray(c), refl=jnp.asarray(refl))
 
 
-def load_scene(path: Union[str, os.PathLike]) -> tuple[np.ndarray, np.ndarray, Scene]:
+def load_scene(path: Union[str, os.PathLike],
+               prefer_native: bool = True) -> tuple[np.ndarray, np.ndarray, Scene]:
     with open(path, "r") as f:
-        return parse_scene(f.read())
+        text = f.read()
+    if prefer_native:
+        try:
+            from gpu_bidirectional_raytracer_tpu import native
+
+            parsed = native.scn_parse(text)
+        except ValueError as e:
+            raise SceneParseError(str(e)) from e
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            cam, flat = parsed
+            return cam[:3], cam[3:], _scene_from_np(
+                flat[:, 0], flat[:, 1:4], flat[:, 4:7], flat[:, 7:10],
+                flat[:, 10].astype(np.int32))
+    return parse_scene(text)
 
 
 def write_scene(orig, target, scene: Scene, path_or_file) -> None:

@@ -57,14 +57,14 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     cleaner through direct NEE. Use `render_pass` for beauty renders.
     """
     px, py = cam_mod.pixel_grid(width, height)
-    pixel_ids = px + py * width
+    n = width * height
 
     def one_sample(s, acc):
-        jit_uv = rng.pixel_uniforms(key, s, 0, rng.CAM_JITTER, pixel_ids, 2)
+        jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)
         rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
                                     px, py)
         rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
-                                jnp.int32(s), pixel_ids)
+                                jnp.int32(s))
         return acc + rad
 
     acc = jax.lax.fori_loop(

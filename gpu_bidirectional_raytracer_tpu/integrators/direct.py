@@ -49,8 +49,9 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
                   hp: Array, nl: Array, light_u: Array) -> Array:
     """Direct lighting at ``hp [N,3]`` with shading normal ``nl [N,3]``.
 
-    ``light_u``: uniforms ``[S, 2, N]`` addressed by *sphere* index so the
-    golden model indexes the identical tape.
+    ``light_u``: uniforms ``[L, 2, N]`` addressed by light SLOT — the
+    position of the emissive sphere in ``light_idx`` scan order. The golden
+    model indexes the identical tape by the same slot convention.
     Returns radiance ``[N, 3]`` (before throughput multiply).
     """
     n = hp.shape[0]
@@ -62,8 +63,8 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     lrad = scene.rad[li]                                    # [L]
     le = scene.e[li]                                        # [L, 3]
 
-    u1 = light_u[li, 0, :].T                                # [N, L]
-    u2 = light_u[li, 1, :].T                                # [N, L]
+    u1 = light_u[:, 0, :].T                                 # [N, L]
+    u2 = light_u[:, 1, :].T                                 # [N, L]
     usp = uniform_sphere(u1, u2)                            # [N, L, 3]
     sphere_point = lp[None, :, :] + lrad[None, :, None] * usp
 

@@ -31,27 +31,25 @@ from gpu_bidirectional_raytracer_tpu.core.types import (
 _NC, _NT = 1.0, 1.5
 
 
-def make_tape(key, sample, n_pixels: int, n_spheres: int,
-              cfg: IntegratorConfig, pixel_ids=None) -> dict:
+def make_tape(key, sample, n_pixels: int, n_lights: int,
+              cfg: IntegratorConfig) -> dict:
     """Materialize the random tape for one progressive sample as numpy.
 
-    Calls the exact same `rng.pixel_uniforms` sites the vectorized tracer
-    calls, so the tapes are bitwise identical.
+    Calls the exact same `rng.site_uniforms` sites the vectorized tracer
+    calls, so the tapes are bitwise identical. ``('light', d)`` is indexed
+    by light SLOT (position among emissive spheres in scan order).
     """
-    import jax.numpy as jnp
-
-    pid = (jnp.arange(n_pixels) if pixel_ids is None
-           else jnp.asarray(pixel_ids))
+    n_l = max(n_lights, 1)
     tape = {"cam": np.asarray(
-        rng.pixel_uniforms(key, sample, 0, rng.CAM_JITTER, pid, 2))}
+        rng.site_uniforms(key, sample, 0, rng.CAM_JITTER, 2, n_pixels))}
     for d in range(cfg.max_depth):
         tape[("light", d)] = np.asarray(
-            rng.pixel_uniforms(key, sample, d, rng.LIGHT_UV, pid,
-                               2 * n_spheres)).reshape(n_spheres, 2, n_pixels)
+            rng.site_uniforms(key, sample, d, rng.LIGHT_UV,
+                              2 * n_l, n_pixels)).reshape(n_l, 2, n_pixels)
         tape[("diff", d)] = np.asarray(
-            rng.pixel_uniforms(key, sample, d, rng.DIFF_UV, pid, 2))
+            rng.site_uniforms(key, sample, d, rng.DIFF_UV, 2, n_pixels))
         tape[("rr", d)] = np.asarray(
-            rng.pixel_uniforms(key, sample, d, rng.REFR_RR, pid, 1))[0]
+            rng.site_uniforms(key, sample, d, rng.REFR_RR, 1, n_pixels))[0]
     return tape
 
 
@@ -107,10 +105,12 @@ def _uniform_sphere(u1, u2):
 def _sample_lights(scene, cfg, hp, nl, light_u, pix, vpls, vlp_index):
     """geomfunc.h:152-207 + device.cu:457-542 (VPL part when cfg.use_vpl)."""
     result = np.zeros(3)
+    slot = -1  # light tape column: emissive-sphere ordinal in scan order
     for i in range(scene["rad"].shape[0]):
         if not np.any(scene["e"][i] != 0.0):
             continue
-        usp = _uniform_sphere(light_u[i, 0, pix], light_u[i, 1, pix])
+        slot += 1
+        usp = _uniform_sphere(light_u[slot, 0, pix], light_u[slot, 1, pix])
         sphere_point = scene["p"][i] + scene["rad"][i] * usp
         sdir = sphere_point - hp
         length = np.sqrt(sdir @ sdir)

@@ -64,8 +64,7 @@ def emit_light_rays(scene: Scene, cfg: IntegratorConfig,
     lrad = scene.rad[lane_light]
     le = scene.e[lane_light]
 
-    u = rng.pixel_uniforms(key, sample, 0, rng.LIGHT_RAY_UV,
-                           jnp.arange(n), 4)
+    u = rng.site_uniforms(key, sample, 0, rng.LIGHT_RAY_UV, 4, n)
     usp = uniform_sphere(u[0], u[1])                         # outward normal
     origin = lp + lrad[:, None] * usp
     direction = cosine_hemisphere(usp, u[2], u[3])
@@ -136,8 +135,7 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
 
         # Continue the walk (only matters when vpl_depth > 1).
         alive = alive & hit & jnp.logical_not(is_emitter)
-        u = rng.pixel_uniforms(key, sample, depth, rng.LIGHT_SCATTER,
-                               jnp.arange(n), 3)
+        u = rng.site_uniforms(key, sample, depth, rng.LIGHT_SCATTER, 3, n)
         sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl, u[0], u[1], u[2])
         live = alive[:, None]
         o = jnp.where(live, hp, o)

@@ -42,17 +42,17 @@ def _gather(arr: Array, idx: Array) -> Array:
 
 
 def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
-          rays: Rays, key: Array, sample: Array, pixel_ids: Array,
+          rays: Rays, key: Array, sample: Array,
           vpls: VplBuffer | None = None, vlp_index: Array | None = None,
           direct_only: bool = False) -> Array:
     """Trace a batch of eye rays to radiance ``[N, 3]``.
 
-    ``key``/``sample``/``pixel_ids`` address the random tape; the same
-    coordinates fed to the golden model reproduce this result to float
-    tolerance, independent of tiling or sharding.
+    ``key``/``sample`` address the random tape; the same coordinates fed to
+    the golden model reproduce this result to float tolerance, independent
+    of sharding.
     """
     n = rays.o.shape[0]
-    n_spheres = scene.num_spheres
+    n_lights = max(len(light_idx), 1)
 
     def body(depth, state):
         o, d, rad, throughput, specular, alive = state
@@ -88,9 +88,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         # NEE at diffuse vertices (geomfunc.h:535-544).
         is_diff = obj_refl == DIFF
         tp_after_diff = throughput * obj_c
-        light_u = rng.pixel_uniforms(key, sample, depth, rng.LIGHT_UV,
-                                     pixel_ids, 2 * n_spheres
-                                     ).reshape(n_spheres, 2, n)
+        light_u = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV,
+                                    2 * n_lights, n).reshape(n_lights, 2, n)
         ld = nee.sample_lights(scene, cfg, light_idx, hp, nl, light_u,
                                vpls=vpls, vlp_index=vlp_index)
         rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
@@ -101,10 +100,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             alive = alive & jnp.logical_not(is_diff)
 
         # Scatter (masked lanes compute everything; select at the end).
-        diff_u = rng.pixel_uniforms(key, sample, depth, rng.DIFF_UV,
-                                    pixel_ids, 2)
-        rr_u = rng.pixel_uniforms(key, sample, depth, rng.REFR_RR,
-                                  pixel_ids, 1)[0]
+        diff_u = rng.site_uniforms(key, sample, depth, rng.DIFF_UV, 2, n)
+        rr_u = rng.site_uniforms(key, sample, depth, rng.REFR_RR, 1, n)[0]
         sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl,
                           diff_u[0], diff_u[1], rr_u)
 

@@ -16,7 +16,7 @@ TPU build adds as a first-class component:
   VPL refresh (an all-gather of ~4096 x 9 floats over ICI) and — in the
   inverse-rendering path — the `psum` of scene-parameter gradients
   (~11 floats/sphere);
-- because random draws are addressed by GLOBAL pixel id (`rng.pixel_uniforms`),
+- because random draws are counter-addressed per draw site (`rng.site_uniforms`, partitionable threefry),
   a 1-chip and an n-chip run produce bitwise-identical images.
 
 Multi-host: call `distributed.initialize_cluster()` first; the same code

@@ -62,7 +62,6 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
     """One progressive pass over every pixel. Pure; jitted once per config."""
     n = width * height
     px, py = cam_mod.pixel_grid(width, height)
-    pixel_ids = px + py * width
 
     # -- Bidirectional schedule: refresh VPLs + slide window when due.
     if cfg.use_vpl and light_idx:
@@ -84,12 +83,12 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
         vpls, vlp_index = state.vpls, state.vlp_index
 
     # -- Eye pass: one jittered sample per pixel (device.cu:560-600).
-    jit_uv = rng.pixel_uniforms(state.key, state.sample, 0, rng.CAM_JITTER,
-                                pixel_ids, 2)
+    jit_uv = rng.site_uniforms(state.key, state.sample, 0, rng.CAM_JITTER,
+                               2, n)
     rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
                                 px, py)
     radiance = path_tracer.trace(
-        scene, cfg, light_idx, rays, state.key, state.sample, pixel_ids,
+        scene, cfg, light_idx, rays, state.key, state.sample,
         vpls=vpls if cfg.use_vpl else None,
         vlp_index=vlp_index,
         direct_only=direct_only,

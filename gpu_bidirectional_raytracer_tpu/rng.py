@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+# Counter-based draws must be value-identical under any output sharding;
+# partitionable threefry guarantees it (and shards RNG generation itself).
+jax.config.update("jax_threefry_partitionable", True)
+
 # Purpose codes — stable address space for draw sites.
 CAM_JITTER = 0     # sub-pixel film jitter (device.cu:565-566)
 LIGHT_UV = 1       # light-sphere surface sampling in NEE (device.cu:479)
@@ -56,23 +60,20 @@ def uniforms(key: Array, sample, depth, purpose: int, shape) -> Array:
                               dtype=jnp.float32)
 
 
-def pixel_uniforms(key: Array, sample, depth, purpose: int,
-                   pixel_ids: Array, k: int) -> Array:
-    """``[k, n]`` uniforms addressed by GLOBAL pixel/lane id.
+def site_uniforms(key: Array, sample, depth, purpose: int,
+                  k: int, n: int) -> Array:
+    """``[k, n]`` uniforms for one draw site, one column per pixel/lane.
 
-    Each column is a pure function of ``(key, sample, depth, purpose,
-    pixel_ids[i])`` — independent of batch layout. This is what makes
-    renders invariant to ray tiling and to the device-mesh sharding of the
-    pixel axis: a 1-chip and a 16-chip run draw bitwise-identical tapes.
-    (The reference instead hashed a shared pool with layout-dependent
-    affine-mod indices, ``device.cu:273,562,619``.)
+    One threefry counter block per site: element ``[j, i]`` is a pure
+    function of ``(key, sample, depth, purpose, j, i)``. Because threefry
+    is counter-based and partitionable, the array's VALUES are independent
+    of the device sharding of the pixel axis — a 1-chip and an n-chip run
+    draw bitwise-identical tapes (asserted in tests/test_parallel.py). The
+    reference instead hashed a shared pool with layout-dependent
+    affine-mod indices (``device.cu:273,562,619``).
     """
-    base = stream_key(key, sample, depth, purpose)
-    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
-        pixel_ids.astype(jnp.uint32))
-    draws = jax.vmap(lambda kk: jax.random.uniform(kk, (k,),
-                                                   dtype=jnp.float32))(keys)
-    return draws.T
+    return jax.random.uniform(stream_key(key, sample, depth, purpose),
+                              (k, n), dtype=jnp.float32)
 
 
 def normals(key: Array, sample, depth, purpose: int, shape) -> Array:

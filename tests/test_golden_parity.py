@@ -101,18 +101,17 @@ def _run_parity(scene, scene_np, cfg, cam_orig, cam_target, w, h, seed,
     key = jax.random.key(seed)
     sample = jnp.int32(0)
     n = w * h
-    pixel_ids = jnp.arange(n)
     light_idx = static_light_indices(scene)
 
     cam = Camera.make(cam_orig, cam_target, w, h)
-    tape = golden.make_tape(key, 0, n, scene.num_spheres, cfg)
+    tape = golden.make_tape(key, 0, n, len(light_idx), cfg)
     px, py = cam_mod.pixel_grid(w, h)
     rays = cam_mod.primary_rays(cam, w, h,
                                 jnp.asarray(tape["cam"][0]),
                                 jnp.asarray(tape["cam"][1]), px, py)
 
     ours = np.asarray(path_tracer.trace(
-        scene, cfg, light_idx, rays, key, sample, pixel_ids,
+        scene, cfg, light_idx, rays, key, sample,
         vpls=vpls, vlp_index=jnp.int32(vlp_index), direct_only=direct_only))
 
     o_np = np.asarray(rays.o, np.float64)

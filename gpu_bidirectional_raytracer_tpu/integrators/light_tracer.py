@@ -96,10 +96,7 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
         hit_id = jax.lax.stop_gradient(hit_id)
         t = jnp.where(hit, t, 1.0)
 
-        obj_p = jnp.take(scene.p, hit_id, axis=0)
-        obj_e = jnp.take(scene.e, hit_id, axis=0)
-        obj_c = jnp.take(scene.c, hit_id, axis=0)
-        obj_refl = jnp.take(scene.refl, hit_id, axis=0)
+        obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(scene, hit_id)
 
         hp = o + vm.smul(t, d)
         normal = vm.norm(hp - obj_p, eps=1e-20)

@@ -37,10 +37,6 @@ from gpu_bidirectional_raytracer_tpu.integrators import direct as nee
 from gpu_bidirectional_raytracer_tpu.integrators import intersect as isect
 
 
-def _gather(arr: Array, idx: Array) -> Array:
-    return jnp.take(arr, idx, axis=0)
-
-
 def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
           rays: Rays, key: Array, sample: Array,
           vpls: VplBuffer | None = None, vlp_index: Array | None = None,
@@ -64,10 +60,7 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         # stays finite (results are masked out, but inf*0 breeds NaNs).
         t = jnp.where(hit, t, 1.0)
 
-        obj_p = _gather(scene.p, hit_id)
-        obj_e = _gather(scene.e, hit_id)
-        obj_c = _gather(scene.c, hit_id)
-        obj_refl = _gather(scene.refl, hit_id)
+        obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(scene, hit_id)
 
         # Reparameterized hit point: t is differentiable through the root
         # formula; the discrete hit id is stopped above.

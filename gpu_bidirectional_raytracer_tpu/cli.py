@@ -113,6 +113,9 @@ def cmd_optimize(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gpu_bidirectional_raytracer_tpu")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (cpu/tpu); overrides both "
+                         "JAX_PLATFORMS and any sitecustomize pinning")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("render", help="progressive render to PPM")
@@ -142,6 +145,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_optimize)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -85,7 +85,15 @@ def scn_parse(text: str):
     rc = lib.scn_parse(raw, len(raw), cam, ctypes.byref(spheres_ptr),
                        ctypes.byref(count))
     if rc != 0:
-        raise ValueError(f"native scn parse error {rc}")
+        msgs = {
+            -1: "expected 'camera' line", -2: "camera needs 6 floats",
+            -3: "expected 'size' line", -4: "size needs an integer",
+            -5: "sphere count out of range", -6: "out of memory",
+            -7: "expected 'sphere' line", -8: "sphere needs 11 fields",
+            -9: "material must be 0..3",
+        }
+        raise ValueError(
+            f"scene parse failed: {msgs.get(rc, f'error {rc}')}")
     try:
         n = count.value
         flat = np.ctypeslib.as_array(spheres_ptr, shape=(n, 11)).copy()

@@ -1,0 +1,415 @@
+"""Pallas megakernel: the full eye-path trace in one TPU kernel.
+
+The performance re-design of ``RadiancePathTracingKernel``
+(``device.cu:544-791``). Where the XLA path (`integrators.path_tracer`)
+runs one fused-op pipeline per bounce with [N,*] intermediates bouncing
+through HBM, this kernel keeps every per-ray quantity resident in VMEM as
+``[R, 128]`` component planes (full 8x128 VPU lane utilization) and unrolls
+all ``max_depth`` bounces, all sphere-intersection scans, and the NEE
+shadow tests inside a single ``pallas_call`` grid over ray tiles.
+
+Semantics are IDENTICAL to `path_tracer.trace` (same estimator, same
+`rng.site_uniforms` tape — the tape is generated outside and streamed in
+per tile), asserted by tests/test_pallas.py down to float tolerance. The
+differentiable path keeps using the XLA tracer; this kernel is the beauty-
+render/throughput forward.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md):
+- every per-ray array is ``[rows, 128]`` float32 (min tile 8x128);
+- the sphere table is a tiny ``[S, 16]`` VMEM block read scalarly inside
+  unrolled loops — spheres and lights are compile-time constants of the
+  kernel, so the scan is branch-free straight-line code;
+- the random tape block is ``[K, rows, 128]`` where ``K = (2L+3) * depth``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpu_bidirectional_raytracer_tpu import rng
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    DIFF,
+    EPSILON,
+    IntegratorConfig,
+    Rays,
+    Scene,
+    SPEC,
+    VplBuffer,
+)
+
+_NC, _NT = 1.0, 1.5
+_LANES = 128
+_BIG = 1e20
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _safe_sqrt(x):
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def _normalize(x, y, z):
+    # 1/sqrt, not lax.rsqrt: Mosaic lowers rsqrt to a low-precision
+    # hardware approximation whose error flips downstream path decisions
+    # relative to the XLA tracer.
+    inv = 1.0 / jnp.sqrt(x * x + y * y + z * z + 1e-30)
+    return x * inv, y * inv, z * inv
+
+
+def _sphere_t(px, py, pz, rad, ox, oy, oz, dx, dy, dz):
+    """Reference quadratic (geomfunc.h:31-58) on [R,128] planes."""
+    opx, opy, opz = px - ox, py - oy, pz - oz
+    b = _dot3(opx, opy, opz, dx, dy, dz)
+    det = b * b - _dot3(opx, opy, opz, opx, opy, opz) + rad * rad
+    hit = det >= 0.0
+    sq = _safe_sqrt(det)
+    t1 = b - sq
+    t2 = b + sq
+    t = jnp.where(t1 > EPSILON, t1, jnp.where(t2 > EPSILON, t2, 0.0))
+    return jnp.where(hit, t, 0.0)
+
+
+def _tape_rows(cfg: IntegratorConfig, n_lights: int):
+    """Row offsets into the per-depth tape block: per depth we pack
+    [light_u1*L, light_u2*L, diff1, diff2, rr]."""
+    per_depth = 2 * n_lights + 3
+    return per_depth, per_depth * cfg.max_depth
+
+
+def _kernel(scene_ref, vpl_ref, tape_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            rr_ref, rg_ref, rb_ref,
+            *, cfg: IntegratorConfig, light_idx: tuple[int, ...],
+            n_spheres: int, n_vpl: int, use_vpl: bool):
+    f32 = jnp.float32
+    L = max(len(light_idx), 1)
+    per_depth, _ = _tape_rows(cfg, L)
+
+    def sph(s, k):
+        return scene_ref[s, k]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    shape = ox.shape
+
+    rad_r = jnp.zeros(shape, f32)
+    rad_g = jnp.zeros(shape, f32)
+    rad_b = jnp.zeros(shape, f32)
+    tp_r = jnp.ones(shape, f32)
+    tp_g = jnp.ones(shape, f32)
+    tp_b = jnp.ones(shape, f32)
+    specular = jnp.ones(shape, bool)
+    alive = jnp.ones(shape, bool)
+
+    for depth in range(cfg.max_depth):
+        # ---- nearest-hit scan over all spheres (unrolled)
+        best_t = jnp.full(shape, _BIG, f32)
+        best_id = jnp.zeros(shape, jnp.int32)
+        for s in range(n_spheres):
+            ts = _sphere_t(sph(s, 1), sph(s, 2), sph(s, 3), sph(s, 0),
+                           ox, oy, oz, dx, dy, dz)
+            closer = (ts > 0.0) & (ts < best_t)
+            best_t = jnp.where(closer, ts, best_t)
+            best_id = jnp.where(closer, s, best_id)
+        hit = best_t < _BIG
+        alive = alive & hit
+        t = jnp.where(hit, best_t, 1.0)
+
+        # ---- gather hit attributes via unrolled select
+        opx = jnp.zeros(shape, f32); opy = jnp.zeros(shape, f32)
+        opz = jnp.zeros(shape, f32)
+        oex = jnp.zeros(shape, f32); oey = jnp.zeros(shape, f32)
+        oez = jnp.zeros(shape, f32)
+        ocx = jnp.zeros(shape, f32); ocy = jnp.zeros(shape, f32)
+        ocz = jnp.zeros(shape, f32)
+        orefl = jnp.zeros(shape, f32)
+        for s in range(n_spheres):
+            sel = best_id == s
+            opx = jnp.where(sel, sph(s, 1), opx)
+            opy = jnp.where(sel, sph(s, 2), opy)
+            opz = jnp.where(sel, sph(s, 3), opz)
+            oex = jnp.where(sel, sph(s, 4), oex)
+            oey = jnp.where(sel, sph(s, 5), oey)
+            oez = jnp.where(sel, sph(s, 6), oez)
+            ocx = jnp.where(sel, sph(s, 7), ocx)
+            ocy = jnp.where(sel, sph(s, 8), ocy)
+            ocz = jnp.where(sel, sph(s, 9), ocz)
+            orefl = jnp.where(sel, sph(s, 10), orefl)
+
+        hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+        nx, ny, nz = _normalize(hx - opx, hy - opy, hz - opz)
+        dp = _dot3(nx, ny, nz, dx, dy, dz)
+        flip = jnp.where(dp > 0.0, f32(-1.0), f32(1.0))
+        nlx, nly, nlz = flip * nx, flip * ny, flip * nz
+
+        # ---- emitter termination (specular chains add emission)
+        is_emit = (oex != 0.0) | (oey != 0.0) | (oez != 0.0)
+        gain = f32(cfg.emission_scale) * jnp.abs(dp)
+        add = alive & is_emit & specular
+        rad_r = rad_r + jnp.where(add, gain * oex * tp_r, 0.0)
+        rad_g = rad_g + jnp.where(add, gain * oey * tp_g, 0.0)
+        rad_b = rad_b + jnp.where(add, gain * oez * tp_b, 0.0)
+        alive = alive & jnp.logical_not(is_emit)
+
+        # ---- NEE at diffuse vertices (device.cu:457-542)
+        is_diff = orefl == f32(DIFF)
+        td_r, td_g, td_b = tp_r * ocx, tp_g * ocy, tp_b * ocz
+        ld_r = jnp.zeros(shape, f32)
+        ld_g = jnp.zeros(shape, f32)
+        ld_b = jnp.zeros(shape, f32)
+        for li, lig in enumerate(light_idx):
+            u1 = tape_ref[depth * per_depth + li]
+            u2 = tape_ref[depth * per_depth + L + li]
+            lrad, lpx, lpy, lpz = (sph(lig, 0), sph(lig, 1), sph(lig, 2),
+                                   sph(lig, 3))
+            zz = 1.0 - 2.0 * u1
+            rr_ = _safe_sqrt(1.0 - zz * zz)
+            phi = 2.0 * jnp.pi * u2
+            ux, uy, uz = rr_ * jnp.cos(phi), rr_ * jnp.sin(phi), zz
+            spx, spy, spz = lpx + lrad * ux, lpy + lrad * uy, lpz + lrad * uz
+            sdx, sdy, sdz = spx - hx, spy - hy, spz - hz
+            slen = jnp.sqrt(_dot3(sdx, sdy, sdz, sdx, sdy, sdz) + 1e-30)
+            inv = 1.0 / slen
+            sdx, sdy, sdz = sdx * inv, sdy * inv, sdz * inv
+            wo = _dot3(sdx, sdy, sdz, ux, uy, uz)
+            facing = wo <= 0.0
+            wo = -wo
+            wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
+            occ = jnp.zeros(shape, bool)
+            maxt = slen - EPSILON
+            for s in range(n_spheres):
+                ts = _sphere_t(sph(s, 1), sph(s, 2), sph(s, 3), sph(s, 0),
+                               hx, hy, hz, sdx, sdy, sdz)
+                occ = occ | ((ts > 0.0) & (ts < maxt))
+            ok = facing & (wi > 0.0) & jnp.logical_not(occ)
+            scale = (4.0 * jnp.pi * lrad * lrad) * wi * wo / (slen * slen)
+            scale = jnp.where(ok, f32(cfg.light_gain) * scale, 0.0)
+            ld_r = ld_r + sph(lig, 4) * scale
+            ld_g = ld_g + sph(lig, 5) * scale
+            ld_b = ld_b + sph(lig, 6) * scale
+
+        # ---- VPL gather (device.cu:507-540): tiny unrolled window
+        if use_vpl and n_vpl > 0:
+            v_r = jnp.zeros(shape, f32)
+            v_g = jnp.zeros(shape, f32)
+            v_b = jnp.zeros(shape, f32)
+            for v in range(n_vpl):
+                vhx, vhy, vhz = vpl_ref[v, 0], vpl_ref[v, 1], vpl_ref[v, 2]
+                vrx, vry, vrz = vpl_ref[v, 3], vpl_ref[v, 4], vpl_ref[v, 5]
+                vnx, vny, vnz = vpl_ref[v, 6], vpl_ref[v, 7], vpl_ref[v, 8]
+                vvalid = vpl_ref[v, 9] > 0.5
+                sdx, sdy, sdz = vhx - hx, vhy - hy, vhz - hz
+                slen = jnp.sqrt(_dot3(sdx, sdy, sdz, sdx, sdy, sdz) + 1e-30)
+                inv = 1.0 / slen
+                sdx, sdy, sdz = sdx * inv, sdy * inv, sdz * inv
+                wo = _dot3(sdx, sdy, sdz, vnx, vny, vnz)
+                facing = wo <= 0.0
+                wo = -wo
+                wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
+                occ = jnp.zeros(shape, bool)
+                maxt = slen - EPSILON
+                for s in range(n_spheres):
+                    e_zero = True  # vacuum: only non-emissive spheres block
+                    ts = _sphere_t(sph(s, 1), sph(s, 2), sph(s, 3),
+                                   sph(s, 0), hx, hy, hz, sdx, sdy, sdz)
+                    blocked = (ts > 0.0) & (ts < maxt)
+                    nonlite = (sph(s, 4) == 0.0) & (sph(s, 5) == 0.0) & (
+                        sph(s, 6) == 0.0)
+                    occ = occ | (blocked & nonlite)
+                ok = facing & (wi > 0.0) & jnp.logical_not(occ) & vvalid
+                w = jnp.where(ok, wi * wo, 0.0)
+                v_r = v_r + vrx * w
+                v_g = v_g + vry * w
+                v_b = v_b + vrz * w
+            inv_k = f32(1.0 / n_vpl)
+            ld_r = ld_r + v_r * inv_k
+            ld_g = ld_g + v_g * inv_k
+            ld_b = ld_b + v_b * inv_k
+            if cfg.combine_half:
+                ld_r, ld_g, ld_b = ld_r * 0.5, ld_g * 0.5, ld_b * 0.5
+
+        use = alive & is_diff
+        rad_r = rad_r + jnp.where(use, td_r * ld_r, 0.0)
+        rad_g = rad_g + jnp.where(use, td_g * ld_g, 0.0)
+        rad_b = rad_b + jnp.where(use, td_b * ld_b, 0.0)
+
+        # ---- scatter (bsdf.scatter semantics)
+        du1 = tape_ref[depth * per_depth + 2 * L]
+        du2 = tape_ref[depth * per_depth + 2 * L + 1]
+        urr = tape_ref[depth * per_depth + 2 * L + 2]
+
+        # DIFF: cosine hemisphere about nl with the |w.x|>0.1 ONB trick
+        big_x = jnp.abs(nlx) > 0.1
+        axx = jnp.where(big_x, f32(0.0), f32(1.0))
+        axy = jnp.where(big_x, f32(1.0), f32(0.0))
+        # a x w  (az = 0)
+        ux_, uy_, uz_ = (axy * nlz, -axx * nlz, axx * nly - axy * nlx)
+        ux_, uy_, uz_ = _normalize(ux_, uy_, uz_)
+        vx_ = nly * uz_ - nlz * uy_
+        vy_ = nlz * ux_ - nlx * uz_
+        vz_ = nlx * uy_ - nly * ux_
+        r1 = 2.0 * jnp.pi * du1
+        r2s = jnp.sqrt(du2)
+        cwr = jnp.cos(r1) * r2s
+        swr = jnp.sin(r1) * r2s
+        wz = _safe_sqrt(1.0 - du2)
+        ddx = ux_ * cwr + vx_ * swr + nlx * wz
+        ddy = uy_ * cwr + vy_ * swr + nly * wz
+        ddz = uz_ * cwr + vz_ * swr + nlz * wz
+
+        # SPEC: mirror about geometric normal
+        k2 = 2.0 * _dot3(nx, ny, nz, dx, dy, dz)
+        sx, sy, sz = dx - k2 * nx, dy - k2 * ny, dz - k2 * nz
+
+        # REFR: Fresnel dielectric + RR
+        into = _dot3(nx, ny, nz, nlx, nly, nlz) > 0.0
+        nnt = jnp.where(into, f32(_NC / _NT), f32(_NT / _NC))
+        ddn = _dot3(dx, dy, dz, nlx, nly, nlz)
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0.0
+        kk = jnp.where(into, f32(1.0), f32(-1.0)) * (ddn * nnt + _safe_sqrt(cos2t))
+        tx, ty, tz = _normalize(nnt * dx - kk * nx, nnt * dy - kk * ny,
+                                nnt * dz - kk * nz)
+        r0 = f32(((_NT - _NC) / (_NT + _NC)) ** 2)
+        c1 = 1.0 - jnp.where(into, -ddn, _dot3(tx, ty, tz, nx, ny, nz))
+        re = r0 + (1.0 - r0) * c1 ** 5
+        p_ = 0.25 + 0.5 * re
+        rp = re / p_
+        tp_w = (1.0 - re) / (1.0 - p_)
+        take_refl = tir | (urr < p_)
+        rx = jnp.where(take_refl, sx, tx)
+        ry = jnp.where(take_refl, sy, ty)
+        rz = jnp.where(take_refl, sz, tz)
+        rr_w = jnp.where(tir, f32(1.0), jnp.where(urr < p_, rp, tp_w))
+
+        is_spec = orefl == f32(SPEC)
+        ndx = jnp.where(is_diff, ddx, jnp.where(is_spec, sx, rx))
+        ndy = jnp.where(is_diff, ddy, jnp.where(is_spec, sy, ry))
+        ndz = jnp.where(is_diff, ddz, jnp.where(is_spec, sz, rz))
+        mul = jnp.where(is_diff | is_spec, f32(1.0), rr_w)
+
+        live = alive
+        ox = jnp.where(live, hx, ox)
+        oy = jnp.where(live, hy, oy)
+        oz = jnp.where(live, hz, oz)
+        dx = jnp.where(live, ndx, dx)
+        dy = jnp.where(live, ndy, dy)
+        dz = jnp.where(live, ndz, dz)
+        tp_r = jnp.where(live, tp_r * ocx * mul, tp_r)
+        tp_g = jnp.where(live, tp_g * ocy * mul, tp_g)
+        tp_b = jnp.where(live, tp_b * ocz * mul, tp_b)
+        # Mosaic can't select between i1 vectors; express as logic.
+        specular = (live & jnp.logical_not(is_diff)) | (
+            jnp.logical_not(live) & specular)
+
+    rr_ref[:] = rad_r
+    rg_ref[:] = rad_g
+    rb_ref[:] = rad_b
+
+
+def _build_tape(cfg: IntegratorConfig, n_lights: int, key: Array,
+                sample: Array, n: int) -> Array:
+    """[K, n] tape with the SAME site addressing as path_tracer.trace."""
+    L = max(n_lights, 1)
+    rows = []
+    for depth in range(cfg.max_depth):
+        lu = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV, 2 * L, n)
+        du = rng.site_uniforms(key, sample, depth, rng.DIFF_UV, 2, n)
+        ru = rng.site_uniforms(key, sample, depth, rng.REFR_RR, 1, n)
+        rows.append(lu.reshape(L, 2, n)[:, 0, :])   # u1 for L lights
+        rows.append(lu.reshape(L, 2, n)[:, 1, :])   # u2 for L lights
+        rows.append(du)
+        rows.append(ru)
+    return jnp.concatenate([r.reshape(-1, n) for r in rows], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "light_idx", "tile_rows",
+                                             "interpret"))
+def trace_pallas(scene: Scene, cfg: IntegratorConfig,
+                 light_idx: tuple[int, ...], rays: Rays, key: Array,
+                 sample: Array, vpls: VplBuffer | None = None,
+                 vlp_index: Array | None = None,
+                 tile_rows: int = 16, interpret: bool = False) -> Array:
+    """Drop-in replacement for `path_tracer.trace` (forward only)."""
+    n = rays.o.shape[0]
+    n_spheres = scene.num_spheres
+    L = max(len(light_idx), 1)
+    per_depth, k_total = _tape_rows(cfg, L)
+
+    tile = tile_rows * _LANES
+    n_pad = ((n + tile - 1) // tile) * tile
+    rows_total = n_pad // _LANES
+
+    def plane(x, fill=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill
+                       ).reshape(rows_total, _LANES)
+
+    ox, oy, oz = (plane(rays.o[:, i]) for i in range(3))
+    # pad direction with z=1 so padded lanes stay numerically sane
+    dx = plane(rays.d[:, 0])
+    dy = plane(rays.d[:, 1])
+    dz = plane(rays.d[:, 2], fill=1.0)
+
+    tape = _build_tape(cfg, L, key, sample, n)
+    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+        k_total, rows_total, _LANES)
+
+    # sphere table [S, 16]: rad, p(3), e(3), c(3), refl
+    table = jnp.concatenate([
+        scene.rad[:, None], scene.p, scene.e, scene.c,
+        scene.refl.astype(jnp.float32)[:, None],
+        jnp.zeros((n_spheres, 5), jnp.float32)], axis=1)
+
+    # VPL window [V, 16]: hp(3), rad(3), nl(3), valid — windowed OUTSIDE
+    use_vpl = cfg.use_vpl and vpls is not None
+    if use_vpl:
+        lanes = (vlp_index + jnp.arange(cfg.max_vlp)) % cfg.light_points
+        w_hp = vpls.hp[:cfg.vpl_depth, lanes].reshape(-1, 3)
+        w_rad = vpls.rad[:cfg.vpl_depth, lanes].reshape(-1, 3)
+        w_nl = vpls.nl[:cfg.vpl_depth, lanes].reshape(-1, 3)
+        w_valid = vpls.valid[:cfg.vpl_depth, lanes].reshape(-1, 1)
+        n_vpl = w_hp.shape[0]
+        vpl_tab = jnp.concatenate(
+            [w_hp, w_rad, w_nl, w_valid.astype(jnp.float32),
+             jnp.zeros((n_vpl, 6), jnp.float32)], axis=1)
+    else:
+        n_vpl = 1
+        vpl_tab = jnp.zeros((1, 16), jnp.float32)
+
+    grid = (rows_total // tile_rows,)
+    row_block = pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel, cfg=cfg, light_idx=tuple(light_idx), n_spheres=n_spheres,
+        n_vpl=n_vpl, use_vpl=use_vpl)
+
+    rr, rg, rb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # scene
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # vpls
+            pl.BlockSpec((k_total, tile_rows, _LANES),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),  # tape
+            row_block, row_block, row_block,                            # o
+            row_block, row_block, row_block,                            # d
+        ],
+        out_specs=(row_block, row_block, row_block),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
+            for _ in range(3)),
+        interpret=interpret,
+    )(table, vpl_tab, tape, ox, oy, oz, dx, dy, dz)
+
+    rad = jnp.stack([rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)],
+                    axis=-1)
+    return rad[:n]

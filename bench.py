@@ -61,6 +61,15 @@ def main() -> None:
 
     t_fwd = _timeit(fwd, state)
 
+    def fwd_pallas(state):
+        return render_pass(scene, cam, state, cfg, width, height, light_idx,
+                           False, "pallas")
+
+    try:
+        t_fwd_pl = _timeit(fwd_pallas, state)
+    except Exception:
+        t_fwd_pl = None
+
     # Forward+backward training step.
     cfg_d = IntegratorConfig.cpu_golden()
     tgt = jnp.zeros((height, width, 3), jnp.float32)
@@ -79,7 +88,11 @@ def main() -> None:
         "vs_baseline": 1.0,
         "extra": {
             "rays_per_sec_fwd": round(n_rays / t_fwd, 1),
+            "rays_per_sec_fwd_pallas": (
+                round(n_rays / t_fwd_pl, 1) if t_fwd_pl else None),
             "pass_ms_fwd": round(t_fwd * 1e3, 3),
+            "pass_ms_fwd_pallas": (
+                round(t_fwd_pl * 1e3, 3) if t_fwd_pl else None),
             "pass_ms_fwd_bwd": round(t_fb * 1e3, 3),
             "resolution": f"{width}x{height}",
             "device": str(dev.device_kind),

@@ -48,7 +48,8 @@ def cmd_render(args) -> int:
     orig, target, scene = _load(args.scene)
     r = Renderer(scene, orig, target, args.width, args.height,
                  cfg=_config(args.mode), seed=args.seed,
-                 reference_dims=args.reference_dims)
+                 reference_dims=args.reference_dims,
+                 backend=args.backend)
 
     if args.checkpoint and args.resume:
         restored = ckpt.restore(args.checkpoint, r.state)
@@ -131,6 +132,9 @@ def main(argv=None) -> int:
     p.add_argument("--snapshot-every", type=int, default=0)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
+                   help="eye-trace implementation (pallas = fused TPU "
+                        "megakernel, ~2x faster on TPU)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("optimize", help="inverse rendering against a target")

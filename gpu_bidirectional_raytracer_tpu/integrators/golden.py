@@ -228,6 +228,118 @@ def radiance_path_tracing(scene, cfg: IntegratorConfig, o, d, tape, pix,
     return rad
 
 
+def make_light_tape(key, sample, cfg: IntegratorConfig, n_lanes: int) -> dict:
+    """Tape for the light pass, same sites as `light_tracer`."""
+    tape = {"emit": np.asarray(
+        rng.site_uniforms(key, sample, 0, rng.LIGHT_RAY_UV, 4, n_lanes))}
+    for d in range(cfg.vpl_depth):
+        tape[("scatter", d)] = np.asarray(
+            rng.site_uniforms(key, sample, d, rng.LIGHT_SCATTER, 3, n_lanes))
+    return tape
+
+
+def radiance_light_tracing(scene, cfg: IntegratorConfig,
+                           light_idx: tuple[int, ...], tape, lane: int):
+    """Scalar mirror of the light-subpath walk (`light_tracer` intent;
+    reference ``RadianceLightTracingKernel``, device.cu:222-455).
+
+    Returns a list of ``cfg.vpl_depth`` slots, each None or a dict
+    ``{hp, rad, nl}``.
+    """
+    L = len(light_idx)
+    lig = light_idx[lane % L]
+    lrad = scene["rad"][lig]
+    lp = scene["p"][lig]
+    le = scene["e"][lig]
+
+    u = tape["emit"][:, lane]
+    usp = _uniform_sphere(u[0], u[1])
+    o = lp + lrad * usp
+    # cosine-sample about the outward normal (= usp)
+    r1 = 2.0 * np.pi * u[2]
+    r2 = u[3]
+    r2s = np.sqrt(r2)
+    w = usp
+    a = (np.array([0.0, 1.0, 0.0]) if abs(w[0]) > 0.1
+         else np.array([1.0, 0.0, 0.0]))
+    uvec = _norm(np.cross(a, w))
+    vvec = np.cross(w, uvec)
+    d = uvec * (np.cos(r1) * r2s) + vvec * (np.sin(r1) * r2s) + w * np.sqrt(
+        1.0 - r2)
+
+    throughput = le * 0.25                       # device.cu:268
+    slots = [None] * cfg.vpl_depth
+    alive = True
+    for depth in range(cfg.vpl_depth):
+        if not alive:
+            break
+        hit, t, hid = _intersect(scene, o, d)
+        if not hit:
+            # environment VPL at the origin, inward normal, e/2
+            slots[depth] = {
+                "hp": o.copy(),
+                "rad": le * 0.5,
+                "nl": -(o - lp) / lrad,
+            }
+            break
+        hp = o + t * d
+        normal = _norm(hp - scene["p"][hid])
+        dp = normal @ d
+        nl = (-1.0 if dp > 0.0 else 1.0) * normal
+        e = scene["e"][hid]
+        if np.any(e != 0.0):
+            break                                # hit an emitter: stop
+        refl = int(scene["refl"][hid])
+        albedo = scene["c"][hid]
+        if refl == DIFF:
+            tp = throughput * albedo
+            slots[depth] = {"hp": hp.copy(), "rad": tp.copy(),
+                            "nl": nl.copy()}
+        # continue the walk with the shared scatter semantics
+        su = tape[("scatter", depth)][:, lane]
+        if refl == DIFF:
+            r1 = 2.0 * np.pi * su[0]
+            r2 = su[1]
+            r2s = np.sqrt(r2)
+            w = nl
+            a = (np.array([0.0, 1.0, 0.0]) if abs(w[0]) > 0.1
+                 else np.array([1.0, 0.0, 0.0]))
+            uvec = _norm(np.cross(a, w))
+            vvec = np.cross(w, uvec)
+            d = (uvec * (np.cos(r1) * r2s) + vvec * (np.sin(r1) * r2s)
+                 + w * np.sqrt(1.0 - r2))
+            mul = 1.0
+        elif refl == SPEC:
+            d = d - 2.0 * (normal @ d) * normal
+            mul = 1.0
+        else:
+            refl_dir = d - 2.0 * (normal @ d) * normal
+            into = (normal @ nl) > 0.0
+            nnt = _NC / _NT if into else _NT / _NC
+            ddn = d @ nl
+            cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+            if cos2t < 0.0:
+                d = refl_dir
+                mul = 1.0
+            else:
+                kk = (1.0 if into else -1.0) * (ddn * nnt + np.sqrt(cos2t))
+                trans = _norm(nnt * d - kk * normal)
+                r0 = ((_NT - _NC) / (_NT + _NC)) ** 2
+                c1 = 1.0 - (-ddn if into else trans @ normal)
+                re = r0 + (1.0 - r0) * c1 ** 5
+                p = 0.25 + 0.5 * re
+                if su[2] < p:
+                    d = refl_dir
+                    mul = re / p
+                else:
+                    d = trans
+                    mul = (1.0 - re) / (1.0 - p)
+        o = hp
+        throughput = throughput * albedo * mul
+        alive = throughput.max() > cfg.throughput_tol
+    return slots
+
+
 def scene_to_np(scene) -> dict:
     return {
         "rad": np.asarray(scene.rad, dtype=np.float64),

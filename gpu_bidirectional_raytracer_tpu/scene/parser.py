@@ -119,7 +119,7 @@ def write_scene(orig, target, scene: Scene, path_or_file) -> None:
     try:
         o = np.asarray(orig, dtype=np.float32)
         t = np.asarray(target, dtype=np.float32)
-        f.write("camera %g %g %g  %g %g %g\n" % (*o, *t))
+        f.write("camera %.9g %.9g %.9g  %.9g %.9g %.9g\n" % (*o, *t))
         n = int(np.asarray(scene.rad).shape[0])
         f.write("size %d\n" % n)
         rad = np.asarray(scene.rad)
@@ -128,7 +128,7 @@ def write_scene(orig, target, scene: Scene, path_or_file) -> None:
         c = np.asarray(scene.c)
         refl = np.asarray(scene.refl)
         for i in range(n):
-            f.write("sphere %g  %g %g %g  %g %g %g  %g %g %g  %d\n" % (
+            f.write("sphere %.9g  %.9g %.9g %.9g  %.9g %.9g %.9g  %.9g %.9g %.9g  %d\n" % (
                 rad[i], p[i, 0], p[i, 1], p[i, 2],
                 e[i, 0], e[i, 1], e[i, 2],
                 c[i, 0], c[i, 1], c[i, 2], refl[i]))

@@ -84,6 +84,18 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from gpu_bidirectional_raytracer_tpu.render.progressive import Renderer
+    from gpu_bidirectional_raytracer_tpu.render.viewer import run_viewer
+
+    orig, target, scene = _load(args.scene)
+    r = Renderer(scene, orig, target, args.width, args.height,
+                 cfg=_config(args.mode), seed=args.seed,
+                 backend=args.backend)
+    run_viewer(r)
+    return 0
+
+
 def cmd_optimize(args) -> int:
     import jax.numpy as jnp
 
@@ -136,6 +148,16 @@ def main(argv=None) -> int:
                    help="eye-trace implementation (pallas = fused TPU "
                         "megakernel, ~2x faster on TPU)")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("view", help="interactive terminal viewer "
+                                    "(the GLUT-window replacement)")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--mode", choices=("gpu", "cpu"), default="gpu")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", choices=("xla", "pallas"), default="xla")
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("optimize", help="inverse rendering against a target")
     p.add_argument("target")

@@ -64,7 +64,7 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
         rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
                                     px, py)
         rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
-                                jnp.int32(s))
+                                jnp.int32(s), remat=True)
         return acc + rad
 
     acc = jax.lax.fori_loop(

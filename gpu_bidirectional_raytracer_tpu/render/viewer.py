@@ -1,0 +1,172 @@
+"""Interactive terminal viewer.
+
+The headless re-design of the reference's presentation + UI layer (the
+CUDA-GL PBO window and GLUT keyboard loop, ``display_func.c:192-467``):
+progressive passes render continuously and display in the terminal as
+24-bit-color half-block characters (two pixels per character cell), while
+the reference's exact key bindings drive the camera and scene edits
+(``display_func.c:278-437``):
+
+    w/a/s/d  move camera      r/f     camera up/down
+    arrows   rotate camera    PgUp/Dn move target up/down
+    + / -    select sphere    2/4/6/8/9/3  move selected sphere
+    p        save PPM         space   re-init accumulation
+    h        help             q / ESC quit
+
+Pure ANSI + termios; no GL, no curses dependency.
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import termios
+import time
+import tty
+
+import numpy as np
+
+from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
+
+ESC = "\x1b"
+
+HELP = """\
+ h: help  q/ESC: quit  space: restart accumulation  p: save PPM
+ w/a/s/d: move camera  r/f: up/down  arrows: rotate  PgUp/PgDn: target
+ +/-: select sphere    numpad 2/4/6/8/9/3: move selected sphere"""
+
+
+def _frame_to_ansi(img: np.ndarray) -> str:
+    """Bottom-up float image -> half-block ANSI art (2 rows per line)."""
+    b = np.asarray(vm.gamma_to_byte(img))[::-1]  # top-down for display
+    h, w, _ = b.shape
+    if h % 2:
+        b = b[:-1]
+        h -= 1
+    out = []
+    for y in range(0, h, 2):
+        row = []
+        for x in range(w):
+            tr, tg, tb = b[y, x]
+            br, bg, bb = b[y + 1, x]
+            row.append(f"{ESC}[38;2;{tr};{tg};{tb}m"
+                       f"{ESC}[48;2;{br};{bg};{bb}m▀")
+        out.append("".join(row) + f"{ESC}[0m")
+    return "\n".join(out)
+
+
+class _RawKeys:
+    """Non-blocking raw keyboard reads with arrow/PgUp/PgDn decoding."""
+
+    def __enter__(self):
+        self.fd = sys.stdin.fileno()
+        self.old = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def __exit__(self, *exc):
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+
+    def poll(self) -> str | None:
+        if not select.select([sys.stdin], [], [], 0)[0]:
+            return None
+        ch = sys.stdin.read(1)
+        if ch != ESC:
+            return ch
+        if not select.select([sys.stdin], [], [], 0.01)[0]:
+            return "ESC"
+        seq = sys.stdin.read(1)
+        if seq != "[":
+            return "ESC"
+        code = sys.stdin.read(1)
+        arrows = {"A": "UP", "B": "DOWN", "C": "RIGHT", "D": "LEFT"}
+        if code in arrows:
+            return arrows[code]
+        if code in ("5", "6"):
+            sys.stdin.read(1)  # trailing '~'
+            return "PGUP" if code == "5" else "PGDN"
+        return None
+
+
+MOVE_STEP = 10.0               # display_func.c:276
+ROTATE_STEP = 2.0 * np.pi / 180.0
+SPHERE_STEP = 5.0              # 0.5 * MOVE_STEP (display_func.c:348)
+
+
+def run_viewer(renderer, fps: float = 4.0) -> None:
+    """Drive a `Renderer` interactively until q/ESC."""
+    from gpu_bidirectional_raytracer_tpu.render import film
+
+    if not sys.stdin.isatty():
+        raise RuntimeError("viewer needs a tty; use the render command "
+                           "for headless output")
+    r = renderer
+    current = 0
+    show_help = True
+    t0 = time.time()
+    sys.stdout.write(f"{ESC}[2J")  # clear
+    with _RawKeys() as keys:
+        while True:
+            r.step()
+            img = np.asarray(r.state.colors)
+            sys.stdout.write(f"{ESC}[H")
+            sys.stdout.write(_frame_to_ansi(img))
+            n = int(r.state.sample)
+            el = time.time() - t0
+            sps = r.width * r.height * n / max(el, 1e-9)
+            sys.stdout.write(
+                f"\n{ESC}[0mpass {n}  {el:6.1f}s  "
+                f"{sps / 1e3:8.1f}K samples/s  sphere #{current}   ")
+            if show_help:
+                sys.stdout.write("\n" + HELP)
+            sys.stdout.flush()
+
+            k = keys.poll()
+            if k is None:
+                continue
+            if k in ("q", "ESC"):
+                print()
+                return
+            elif k == "h":
+                show_help = not show_help
+                sys.stdout.write(f"{ESC}[2J")
+            elif k == " ":
+                r.reset()
+                t0 = time.time()
+            elif k == "p":
+                name = film.snapshot_name(r.cfg.max_vlp, el, n)
+                film.write_ppm(img, name)
+            elif k in ("w", "s"):
+                r.move_camera("dir", MOVE_STEP if k == "w" else -MOVE_STEP)
+            elif k in ("a", "d"):
+                r.move_camera("x", MOVE_STEP if k == "d" else -MOVE_STEP)
+            elif k in ("r", "f"):
+                r.move_camera("y_world", MOVE_STEP if k == "r" else -MOVE_STEP)
+            elif k in ("UP", "DOWN"):
+                r.rotate_camera("pitch",
+                                -ROTATE_STEP if k == "UP" else ROTATE_STEP)
+            elif k in ("LEFT", "RIGHT"):
+                r.rotate_camera("yaw",
+                                -ROTATE_STEP if k == "LEFT" else ROTATE_STEP)
+            elif k in ("PGUP", "PGDN"):
+                t = np.asarray(r.camera.target)
+                dy = MOVE_STEP if k == "PGUP" else -MOVE_STEP
+                from gpu_bidirectional_raytracer_tpu.core.types import Camera
+
+                r.camera = Camera.update(
+                    r.camera.orig, r.camera.target.at[1].add(dy),
+                    r.width, r.height)
+                r.reset()
+            elif k == "+":
+                current = (current + 1) % r.scene.num_spheres
+            elif k == "-":
+                current = (current - 1) % r.scene.num_spheres
+            elif k in "246893":
+                delta = {
+                    "4": [-SPHERE_STEP, 0, 0], "6": [SPHERE_STEP, 0, 0],
+                    "8": [0, 0, -SPHERE_STEP], "2": [0, 0, SPHERE_STEP],
+                    "9": [0, SPHERE_STEP, 0], "3": [0, -SPHERE_STEP, 0],
+                }[k]
+                r.edit_sphere(current, delta)
+                t0 = time.time()

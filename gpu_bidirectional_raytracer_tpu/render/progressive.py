@@ -95,7 +95,10 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
                                2, n)
     rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
                                 px, py)
-    if backend == "pallas" and not direct_only:
+    # The pallas megakernel fully unrolls its sphere scans — right for the
+    # typical <=tens-of-spheres scene, wrong for complex.scn-scale (783);
+    # fall back to the XLA tracer there.
+    if backend == "pallas" and not direct_only and scene.num_spheres <= 64:
         from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
 
         radiance = trace_pallas(

@@ -28,6 +28,17 @@ def _timeit(fn, *args, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _sustained(step_fn, state, passes=32):
+    """Chained progressive passes, one block at the end — the serving-mode
+    throughput (per-pass dispatch latency amortizes away)."""
+    state = jax.block_until_ready(step_fn(state))  # warm
+    t0 = time.perf_counter()
+    for _ in range(passes):
+        state = step_fn(state)
+    jax.block_until_ready(state)
+    return (time.perf_counter() - t0) / passes
+
+
 def main() -> None:
     width = int(os.environ.get("BENCH_WIDTH", "512"))
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
@@ -67,8 +78,10 @@ def main() -> None:
 
     try:
         t_fwd_pl = _timeit(fwd_pallas, state)
+        t_sustained = _sustained(fwd_pallas, state)
     except Exception:
         t_fwd_pl = None
+        t_sustained = _sustained(fwd, state)
 
     # Forward+backward training step.
     cfg_d = IntegratorConfig.cpu_golden()
@@ -93,6 +106,8 @@ def main() -> None:
             "pass_ms_fwd": round(t_fwd * 1e3, 3),
             "pass_ms_fwd_pallas": (
                 round(t_fwd_pl * 1e3, 3) if t_fwd_pl else None),
+            "rays_per_sec_sustained": round(n_rays / t_sustained, 1),
+            "pass_ms_sustained": round(t_sustained * 1e3, 3),
             "pass_ms_fwd_bwd": round(t_fb * 1e3, 3),
             "resolution": f"{width}x{height}",
             "device": str(dev.device_kind),

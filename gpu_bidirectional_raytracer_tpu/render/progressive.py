@@ -127,21 +127,83 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "band_h", "light_idx",
+                                             "backend"))
+def eye_band_pass(scene: Scene, cam: Camera, cfg: IntegratorConfig,
+                  width: int, height: int, y0: Array, band_h: int,
+                  light_idx: tuple[int, ...], key: Array, sample: Array,
+                  vpls: VplBuffer, vlp_index: Array,
+                  backend: str = "xla") -> Array:
+    """Trace one horizontal band of pixel rows — the memory-bounded path
+    for large frames x large scenes (the all-pairs intersection tensor is
+    ``band_h*width x spheres`` instead of the full frame).
+
+    The band's random tape is keyed by ``fold_in(key, y0)``: deterministic
+    for a fixed banding, but a different noise realization than the
+    untiled render (band-local counter spaces).
+    """
+    n = band_h * width
+    band_key = jax.random.fold_in(key, y0.astype(jnp.uint32))
+    px = jnp.tile(jnp.arange(width), band_h)
+    py = jnp.repeat(jnp.arange(band_h), width) + y0
+
+    jit_uv = rng.site_uniforms(band_key, sample, 0, rng.CAM_JITTER, 2, n)
+    rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
+                                px, py)
+    if backend == "pallas":
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
+
+        rad = trace_pallas(scene, cfg, light_idx, rays, band_key, sample,
+                           vpls=vpls if cfg.use_vpl else None,
+                           vlp_index=vlp_index)
+    else:
+        rad = path_tracer.trace(scene, cfg, light_idx, rays, band_key,
+                                sample,
+                                vpls=vpls if cfg.use_vpl else None,
+                                vlp_index=vlp_index)
+    return rad.reshape(band_h, width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "light_idx"))
+def vpl_update(scene: Scene, state: RenderState, cfg: IntegratorConfig,
+               light_idx: tuple[int, ...]):
+    """The bidirectional schedule step alone (for the tiled driver)."""
+    period = max(cfg.max_iter - 1, 1)
+    due = (state.sample % period) == 0
+
+    def refresh(_):
+        vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
+                                              state.key, state.sample)
+        vlp_index = jnp.where(state.sample == 0, jnp.int32(0),
+                              (state.vlp_index + cfg.max_vlp)
+                              % cfg.light_points)
+        return vpls, vlp_index
+
+    return jax.lax.cond(due, refresh,
+                        lambda _: (state.vpls, state.vlp_index), None)
+
+
 class Renderer:
     """Convenience driver bundling scene + camera + config.
 
     The headless successor of the GLUT loop: `step` is one progressive
     pass; camera/scene edits go through `move_camera` / `edit_sphere`
     (the UI key analogues) which reset accumulation like ``ReInitScene``.
+
+    ``tile_rows``: when set, each pass traces the frame in horizontal
+    bands of that many rows (bounded memory for big frames x big scenes).
     """
 
     def __init__(self, scene: Scene, cam_orig: Sequence[float],
                  cam_target: Sequence[float], width: int, height: int,
                  cfg: IntegratorConfig | None = None, seed: int = 0,
-                 reference_dims: bool = False, backend: str = "xla"):
+                 reference_dims: bool = False, backend: str = "xla",
+                 tile_rows: int | None = None):
         if reference_dims:
             width, height = cam_mod.reference_dims(width, height)
         self.backend = backend
+        self.tile_rows = tile_rows
         self.cfg = cfg or IntegratorConfig()
         self.width, self.height = width, height
         self.scene = scene
@@ -151,9 +213,35 @@ class Renderer:
         self.state = init_state(width, height, self.cfg, seed)
 
     def step(self, direct_only: bool = False) -> RenderState:
+        if self.tile_rows:
+            return self._step_tiled()
         self.state = render_pass(self.scene, self.camera, self.state,
                                  self.cfg, self.width, self.height,
                                  self.light_idx, direct_only, self.backend)
+        return self.state
+
+    def _step_tiled(self) -> RenderState:
+        st = self.state
+        if self.cfg.use_vpl and self.light_idx:
+            vpls, vlp_index = vpl_update(self.scene, st, self.cfg,
+                                         self.light_idx)
+        else:
+            vpls, vlp_index = st.vpls, st.vlp_index
+        bands = []
+        y0 = 0
+        while y0 < self.height:
+            bh = min(self.tile_rows, self.height - y0)
+            bands.append(eye_band_pass(
+                self.scene, self.camera, self.cfg, self.width, self.height,
+                jnp.int32(y0), bh, self.light_idx, st.key, st.sample,
+                vpls, vlp_index, self.backend))
+            y0 += bh
+        radiance = jnp.concatenate(bands, axis=0)
+        k1 = st.counter.astype(jnp.float32)[..., None]
+        colors = (st.colors * k1 + radiance) / (k1 + 1.0)
+        self.state = RenderState(colors=colors, counter=st.counter + 1,
+                                 vpls=vpls, vlp_index=vlp_index,
+                                 sample=st.sample + 1, key=st.key)
         return self.state
 
     def render(self, spp: int, direct_only: bool = False) -> np.ndarray:

@@ -116,3 +116,27 @@ class TestRendererDriver:
         flat, treedef = jax.tree.flatten(state)
         restored = jax.tree.unflatten(treedef, flat)
         assert int(restored.sample) == 0
+
+
+class TestTiledRendering:
+    def test_tiled_matches_statistics_and_is_finite(self):
+        # Tiled noise realization differs (band-keyed tapes) but the mean
+        # estimate must agree statistically and stay finite.
+        full = _simple_renderer(32, 24)
+        tiled = _simple_renderer(32, 24, tile_rows=10)  # 10+10+4 bands
+        a = full.render(6)
+        b = tiled.render(6)
+        assert np.isfinite(b).all()
+        assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-9) < 0.25
+        assert int(tiled.state.sample) == 6
+
+    def test_tiled_vpl_schedule_still_slides(self):
+        from gpu_bidirectional_raytracer_tpu.scene import builtin as bi
+
+        scene = bi.cornell_box()
+        r = Renderer(scene, bi.DEFAULT_CAMERA_ORIG, bi.DEFAULT_CAMERA_TARGET,
+                     16, 12, cfg=IntegratorConfig(), tile_rows=5)
+        for _ in range(3):
+            r.step()
+        assert int(r.state.vlp_index) == r.cfg.max_vlp
+        assert bool(np.asarray(r.state.vpls.valid).any())

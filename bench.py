@@ -17,6 +17,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the TPU tunnel's remote compiles are
+# minutes-long; cached executables make repeat bench runs seconds-long.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _timeit(fn, *args, warmup=2, iters=5):
     for _ in range(warmup):

@@ -74,10 +74,11 @@ def main() -> None:
     # smallpt_cpu.c:284-287, was width*height / pass-time).
     state = init_state(width, height, cfg)
 
+    # Two compiles total (remote TPU compiles are minutes each): the
+    # pallas-backed pass (auto-falls back to XLA above 64 spheres) and the
+    # training step. Set BENCH_XLA_FWD=1 for the extra XLA-only timing.
     def fwd(state):
         return render_pass(scene, cam, state, cfg, width, height, light_idx)
-
-    t_fwd = _timeit(fwd, state)
 
     def fwd_pallas(state):
         return render_pass(scene, cam, state, cfg, width, height, light_idx,
@@ -89,6 +90,7 @@ def main() -> None:
     except Exception:
         t_fwd_pl = None
         t_sustained = _sustained(fwd, state)
+    t_fwd = _timeit(fwd, state) if os.environ.get("BENCH_XLA_FWD") else None
 
     # Forward+backward training step.
     cfg_d = IntegratorConfig.cpu_golden()
@@ -107,10 +109,11 @@ def main() -> None:
         "unit": "rays/s",
         "vs_baseline": 1.0,
         "extra": {
-            "rays_per_sec_fwd": round(n_rays / t_fwd, 1),
+            "rays_per_sec_fwd": (
+                round(n_rays / t_fwd, 1) if t_fwd else None),
             "rays_per_sec_fwd_pallas": (
                 round(n_rays / t_fwd_pl, 1) if t_fwd_pl else None),
-            "pass_ms_fwd": round(t_fwd * 1e3, 3),
+            "pass_ms_fwd": round(t_fwd * 1e3, 3) if t_fwd else None,
             "pass_ms_fwd_pallas": (
                 round(t_fwd_pl * 1e3, 3) if t_fwd_pl else None),
             "rays_per_sec_sustained": round(n_rays / t_sustained, 1),

@@ -194,6 +194,10 @@ class IntegratorConfig:
     max_iter: int = MAX_ITER
     throughput_tol: float = TOL
     fov_deg: float = 45.0
+    # Per-pixel sample cap: the eye kernel stops accumulating once a pixel
+    # has 30000 samples (hardcoded literal, device.cu:607; the kernel arg
+    # carrying it is dead).
+    max_samples: int = 30000
 
     @staticmethod
     def cpu_golden() -> "IntegratorConfig":

@@ -113,18 +113,29 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
             direct_only=direct_only,
         ).reshape(height, width, 3)
 
-    # -- Progressive mean (device.cu:774-782).
-    k1 = state.counter.astype(jnp.float32)[..., None]
-    colors = (state.colors * k1 + radiance) / (k1 + 1.0)
-
+    # -- Progressive mean with the per-pixel sample cap
+    # (device.cu:774-788; cap literal at :607).
+    colors, counter = _accumulate(state.colors, state.counter, radiance,
+                                  cfg.max_samples)
     return RenderState(
         colors=colors,
-        counter=state.counter + 1,
+        counter=counter,
         vpls=vpls,
         vlp_index=vlp_index,
         sample=state.sample + 1,
         key=state.key,
     )
+
+
+def _accumulate(colors: Array, counter: Array, radiance: Array,
+                max_samples: int) -> tuple[Array, Array]:
+    """Running-mean update, frozen for pixels at the sample cap."""
+    live = counter < max_samples
+    k1 = counter.astype(jnp.float32)[..., None]
+    updated = (colors * k1 + radiance) / (k1 + 1.0)
+    colors = jnp.where(live[..., None], updated, colors)
+    counter = jnp.where(live, counter + 1, counter)
+    return colors, counter
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
@@ -237,9 +248,9 @@ class Renderer:
                 vpls, vlp_index, self.backend))
             y0 += bh
         radiance = jnp.concatenate(bands, axis=0)
-        k1 = st.counter.astype(jnp.float32)[..., None]
-        colors = (st.colors * k1 + radiance) / (k1 + 1.0)
-        self.state = RenderState(colors=colors, counter=st.counter + 1,
+        colors, counter = _accumulate(st.colors, st.counter, radiance,
+                                      self.cfg.max_samples)
+        self.state = RenderState(colors=colors, counter=counter,
                                  vpls=vpls, vlp_index=vlp_index,
                                  sample=st.sample + 1, key=st.key)
         return self.state

@@ -140,3 +140,15 @@ class TestTiledRendering:
             r.step()
         assert int(r.state.vlp_index) == r.cfg.max_vlp
         assert bool(np.asarray(r.state.vpls.valid).any())
+
+
+class TestSampleCap:
+    def test_accumulation_freezes_at_cap(self):
+        # device.cu:607 — pixels stop accumulating at max_samples.
+        r = _simple_renderer(16, 12, cfg=IntegratorConfig(max_samples=3,
+                                                          use_vpl=False))
+        r.render(5)
+        assert int(np.asarray(r.state.counter).max()) == 3
+        frozen = np.asarray(r.state.colors).copy()
+        r.step()
+        np.testing.assert_array_equal(np.asarray(r.state.colors), frozen)

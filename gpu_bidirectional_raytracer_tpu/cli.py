@@ -49,7 +49,7 @@ def cmd_render(args) -> int:
     r = Renderer(scene, orig, target, args.width, args.height,
                  cfg=_config(args.mode), seed=args.seed,
                  reference_dims=args.reference_dims,
-                 backend=args.backend)
+                 backend=args.backend, tile_rows=args.tile_rows)
 
     if args.checkpoint and args.resume:
         restored = ckpt.restore(args.checkpoint, r.state)
@@ -77,7 +77,7 @@ def cmd_render(args) -> int:
     print(f"Rendered {args.spp - start} passes in {elapsed:.3f}s "
           f"({n / max(elapsed, 1e-9) / 1e3:.1f}K samples/sec)", file=sys.stderr)
 
-    film.write_ppm(np.asarray(r.state.colors), args.out)
+    film.write_image(np.asarray(r.state.colors), args.out)
     print(f"wrote {args.out}", file=sys.stderr)
     if args.checkpoint:
         ckpt.save(args.checkpoint, r.state)
@@ -147,6 +147,9 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
                    help="eye-trace implementation (pallas = fused TPU "
                         "megakernel, ~2x faster on TPU)")
+    p.add_argument("--tile-rows", type=int, default=None,
+                   help="trace in horizontal bands of N rows (bounds "
+                        "memory for huge frames / many-sphere scenes)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="interactive terminal viewer "

@@ -53,6 +53,27 @@ def read_ppm(path: str | os.PathLike) -> np.ndarray:
     return img[::-1]  # back to bottom-up buffer order
 
 
+def write_png(colors, path: str | os.PathLike) -> bool:
+    """PNG output (top-down, as viewers expect). Returns False when PIL is
+    unavailable — PPM is the always-available format."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    img = to_bytes(colors)[::-1]  # bottom-up buffer -> top-down file
+    Image.fromarray(img).save(os.fspath(path))
+    return True
+
+
+def write_image(colors, path: str | os.PathLike) -> None:
+    """Write by extension: .png via PIL when available, else P3 PPM."""
+    if str(path).lower().endswith(".png"):
+        if write_png(colors, path):
+            return
+        path = str(path)[:-4] + ".ppm"
+    write_ppm(colors, path)
+
+
 def snapshot_name(max_vlp: int, total_time: float, sample: int) -> str:
     """The reference encodes config + wall time + pass count in the file
     name (``smallpt_cpu.c:245``)."""

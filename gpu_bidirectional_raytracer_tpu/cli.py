@@ -113,7 +113,7 @@ def cmd_optimize(args) -> int:
 
     inv = InverseRenderer(scene=scene, cam=cam, target=target_lin,
                           cfg=_config(args.mode), width=w, height=h,
-                          lr=args.lr, spp=args.spp,
+                          lr=args.lr, spp=args.spp, loss=args.loss,
                           optimize=tuple(args.params.split(",")))
     for i in range(args.steps):
         loss = inv.step()
@@ -170,6 +170,8 @@ def main(argv=None) -> int:
     p.add_argument("--spp", type=int, default=4)
     p.add_argument("--params", default="p,rad")
     p.add_argument("--mode", choices=("gpu", "cpu"), default="cpu")
+    p.add_argument("--loss", choices=("l2_unbiased", "l2", "log"),
+                   default="l2_unbiased")
     p.add_argument("--out", default="optimized.scn")
     p.set_defaults(fn=cmd_optimize)
 

@@ -19,8 +19,20 @@ Differentiation policy (SURVEY.md "Hard parts" #2):
   root of the (stopped) hit sphere, so hit points move with sphere
   position/radius — the reparameterization that makes shadow/shading
   terms respond to geometry.
-- **Safe-math guards** (double-where on every sqrt/div) keep the backward
-  pass NaN-free on masked lanes.
+- **Safe-math guards** (double-where on every sqrt/div, tangency-clamped
+  discriminants) keep the backward pass NaN-free on masked lanes and
+  bounded at grazing geometry.
+
+Known estimator limits (measured, see tests):
+- Albedo / emission / IOR-free shading parameters: gradients match finite
+  differences tightly; recovery converges (test_albedo_recovery_descends).
+- Geometry parameters (position/radius): interior-shading terms are
+  correct (FD-validated), but visibility motion — silhouettes and cast
+  shadows — contributes NO gradient. Optimizing a light or occluder
+  position against an image whose mismatch is shadow-dominated can
+  therefore descend the smooth terms while drifting geometry; it needs an
+  edge-aware estimator (warped-area / reparameterized visibility
+  sampling), which is the planned upgrade of this module.
 """
 
 from __future__ import annotations
@@ -76,16 +88,51 @@ def l2_loss(img: Array, target: Array) -> Array:
     return jnp.mean((img - target) ** 2)
 
 
+def log_loss(img: Array, target: Array) -> Array:
+    """L2 in log(1+radiance): compresses intensity so geometry/direction
+    terms aren't drowned by brightness — markedly better-conditioned for
+    light/position fitting than linear L2."""
+    return jnp.mean((jnp.log1p(img) - jnp.log1p(target)) ** 2)
+
+
+_LOSSES = {"l2": l2_loss, "log": log_loss}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
-                                             "light_idx", "spp"))
+                                             "light_idx", "spp", "loss"))
 def render_loss_grad(scene: Scene, cam: Camera, key: Array, target: Array,
                      cfg: IntegratorConfig, width: int, height: int,
-                     light_idx: tuple[int, ...], spp: int = 1):
-    """(loss, d loss / d scene) for an L2 image loss."""
+                     light_idx: tuple[int, ...], spp: int = 1,
+                     loss: str = "l2"):
+    """(loss, d loss / d scene) for an image loss.
+
+    ``loss``:
+    - ``'l2_unbiased'`` (recommended for stochastic fitting): two
+      INDEPENDENT renders A, B and the product loss mean((A-t)(B-t)).
+      Its expectation is ||E[render]-t||^2 with no variance term — a
+      plain L2 on a noisy render rewards darkening the scene to cut MC
+      noise (E[(X-t)^2] = bias^2 + Var(X)), a measured ~2x-darkening
+      bias on albedo fits at low spp.
+    - ``'l2'``, ``'log'``: single-render losses (exact on fixed tapes,
+      variance-biased under resampling).
+    """
+    if loss == "l2_unbiased":
+        key_b = jax.random.fold_in(key, jnp.uint32(0x5EED))
+
+        def loss_fn(sc: Scene) -> Array:
+            a = render_radiance(sc, cam, key, cfg, width, height,
+                                light_idx, spp)
+            b = render_radiance(sc, cam, key_b, cfg, width, height,
+                                light_idx, spp)
+            return jnp.mean((a - target) * (b - target))
+
+        return jax.value_and_grad(loss_fn, allow_int=True)(scene)
+
+    loss_f = _LOSSES[loss]
 
     def loss_fn(sc: Scene) -> Array:
         img = render_radiance(sc, cam, key, cfg, width, height, light_idx, spp)
-        return l2_loss(img, target)
+        return loss_f(img, target)
 
     # allow_int: the Scene pytree carries the discrete material codes
     # (int32 refl); their "gradient" is float0 and is never used.
@@ -123,13 +170,18 @@ class InverseRenderer:
     spp: int = 4
     optimize: tuple[str, ...] = ("p", "rad")
     seed: int = 0
-    resample: bool = True  # fresh RNG per step (unbiased) vs fixed tape
+    resample: bool = True  # fresh RNG per step vs fixed tape
+    min_radius: float = 0.1
+    loss: str | None = None  # default: 'l2_unbiased' when resampling, 'l2'
+                             # on a fixed tape (see render_loss_grad)
     _opt_state: object = None
     _step: int = 0
 
     def __post_init__(self):
         import optax
 
+        if self.loss is None:
+            self.loss = "l2_unbiased" if self.resample else "l2"
         self.light_idx = static_light_indices(self.scene)
         self._tx = optax.adam(self.lr)
         params = {k: getattr(self.scene, k) for k in self.optimize}
@@ -141,13 +193,22 @@ class InverseRenderer:
             key = jax.random.fold_in(key, self._step)
         loss, grads = render_loss_grad(
             self.scene, self.cam, key, self.target, self.cfg,
-            self.width, self.height, self.light_idx, self.spp)
+            self.width, self.height, self.light_idx, self.spp, self.loss)
         import optax
 
         params = {k: getattr(self.scene, k) for k in self.optimize}
         g = {k: getattr(grads, k) for k in self.optimize}
         updates, self._opt_state = self._tx.update(g, self._opt_state, params)
         params = optax.apply_updates(params, updates)
+        # Projection keeps geometry physical: a radius driven through zero
+        # flips the sphere inside-out and detonates the quadratic-root
+        # gradients (observed as NaN position updates).
+        if "rad" in params:
+            params["rad"] = jnp.maximum(params["rad"], self.min_radius)
+        if "c" in params:
+            params["c"] = jnp.clip(params["c"], 0.0, 1.0)
+        if "e" in params:
+            params["e"] = jnp.maximum(params["e"], 0.0)
         self.scene = self.scene.replace(**params)
         self._step += 1
         return float(loss)

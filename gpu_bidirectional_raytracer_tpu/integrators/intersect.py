@@ -65,9 +65,15 @@ def sphere_distances(scene: Scene, o: Array, d: Array,
     det = b * b - opop + (rad * rad)[None, :]
 
     hit = det >= 0.0
-    # Double-where: sqrt'(0) = inf would leak NaN into gradients of missed
-    # pairs even though their primal value is masked out.
-    sq = jnp.where(hit, jnp.sqrt(jnp.where(hit, det, 1.0)), 0.0)
+    # Two gradient guards on the root:
+    # - double-where: sqrt'(0)=inf would leak NaN into missed pairs even
+    #   though their primal is masked out;
+    # - tangency clamp: rays grazing a sphere (det ~ 0+, ubiquitous when
+    #   an optimizer drives spheres through each other) have unbounded
+    #   d(sqrt det)/d(params); clamping det to >= 1e-6 bounds the gradient
+    #   at the cost of ~1e-3 distance error exactly at tangency.
+    sq = jnp.where(hit, jnp.sqrt(jnp.where(hit, jnp.maximum(det, 1e-6), 1.0)),
+                   0.0)
     t1 = b - sq
     t2 = b + sq
     t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))

@@ -108,3 +108,29 @@ class TestInverseRendering:
         got = np.asarray(inv.scene.c[0])
         want = np.asarray(scene.c[0])
         assert np.abs(got - want).max() < 0.25, (got, want)
+
+
+class TestUnbiasedLoss:
+    def test_unbiased_loss_removes_variance_bias(self, setup):
+        # On a stochastic fit, plain L2's optimum is darkened by the MC
+        # variance term; the two-render product loss is not. Compare the
+        # gradient of the ground albedo at the TRUE parameters: unbiased
+        # should be ~centered on zero, plain L2 should push darker
+        # (positive gradient on albedo).
+        scene, cam, cfg, li, key, w, h = setup
+        target = G.render_radiance(scene, cam, key, cfg, w, h, li, spp=4)
+        g_plain = np.zeros(3)
+        g_unb = np.zeros(3)
+        n = 12
+        for i in range(n):
+            k = jax.random.fold_in(jax.random.key(99), i)
+            _, gp = G.render_loss_grad(scene, cam, k, target, cfg, w, h, li,
+                                       2, "l2")
+            _, gu = G.render_loss_grad(scene, cam, k, target, cfg, w, h, li,
+                                       2, "l2_unbiased")
+            g_plain += np.asarray(gp.c[0]) / n
+            g_unb += np.asarray(gu.c[0]) / n
+        # plain L2 systematically pushes the albedo down (positive grad);
+        # the unbiased estimator's mean gradient is much smaller.
+        assert g_plain.mean() > 0
+        assert abs(g_unb.mean()) < 0.5 * abs(g_plain.mean()), (g_unb, g_plain)

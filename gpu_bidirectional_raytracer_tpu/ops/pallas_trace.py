@@ -85,11 +85,46 @@ def _tape_rows(cfg: IntegratorConfig, n_lights: int):
     return per_depth, per_depth * cfg.max_depth
 
 
-def _kernel(scene_ref, vpl_ref, tape_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            rr_ref, rg_ref, rb_ref,
-            *, cfg: IntegratorConfig, light_idx: tuple[int, ...],
-            n_spheres: int, n_vpl: int, use_vpl: bool):
+def _camera_rays_in_kernel(cam_ref, tape_ref, tile_rows: int,
+                           width: int, height: int):
+    """Generate primary rays in-kernel (device.cu:560-600 semantics).
+
+    ``cam_ref``: [2,16] table — row 0: x_hat(0:3), y_hat(3:6), d_hat(6:9),
+    orig(9:12); row 1: inv_w, inv_h, temp(2:5) (the homogeneous-divide
+    constants). Pixel ids derive from the grid position, jitter from tape
+    rows 0-1.
+    """
+    f32 = jnp.float32
+    base = pl.program_id(0) * tile_rows * _LANES
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, _LANES), 1)
+    idx = base + rows * _LANES + lanes
+    px = (idx % width).astype(f32)
+    py = (idx // width).astype(f32)
+
+    inv_w = cam_ref[1, 0]
+    inv_h = cam_ref[1, 1]
+    kx = inv_w * (px + tape_ref[0] - f32(width) * 0.5)
+    ky = inv_h * (py + tape_ref[1] - f32(height) * 0.5)
+    kz = f32(10.0)
+
+    w_ = kx * cam_ref[1, 2] + ky * cam_ref[1, 3] + kz * cam_ref[1, 4] + 1.0
+    inv = 1.0 / w_
+    rdx = (kx * cam_ref[0, 0] + ky * cam_ref[0, 3] + kz * cam_ref[0, 6]) * inv
+    rdy = (kx * cam_ref[0, 1] + ky * cam_ref[0, 4] + kz * cam_ref[0, 7]) * inv
+    rdz = (kx * cam_ref[0, 2] + ky * cam_ref[0, 5] + kz * cam_ref[0, 8]) * inv
+    ox = cam_ref[0, 9] + rdx
+    oy = cam_ref[0, 10] + rdy
+    oz = cam_ref[0, 11] + rdz
+    dx, dy, dz = _normalize(rdx, rdy, rdz)
+    return ox, oy, oz, dx, dy, dz
+
+
+def _kernel(scene_ref, vpl_ref, tape_ref, *args,
+            cfg: IntegratorConfig, light_idx: tuple[int, ...],
+            n_spheres: int, n_vpl: int, use_vpl: bool,
+            cam_mode: bool = False, tile_rows: int = 0,
+            width: int = 0, height: int = 0, cam_rows: int = 0):
     f32 = jnp.float32
     L = max(len(light_idx), 1)
     per_depth, _ = _tape_rows(cfg, L)
@@ -97,8 +132,15 @@ def _kernel(scene_ref, vpl_ref, tape_ref,
     def sph(s, k):
         return scene_ref[s, k]
 
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    if cam_mode:
+        (cam_ref, rr_ref, rg_ref, rb_ref) = args
+        ox, oy, oz, dx, dy, dz = _camera_rays_in_kernel(
+            cam_ref, tape_ref, tile_rows, width, height)
+    else:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         rr_ref, rg_ref, rb_ref) = args
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     shape = ox.shape
 
     rad_r = jnp.zeros(shape, f32)
@@ -167,8 +209,8 @@ def _kernel(scene_ref, vpl_ref, tape_ref,
         ld_g = jnp.zeros(shape, f32)
         ld_b = jnp.zeros(shape, f32)
         for li, lig in enumerate(light_idx):
-            u1 = tape_ref[depth * per_depth + li]
-            u2 = tape_ref[depth * per_depth + L + li]
+            u1 = tape_ref[cam_rows + depth * per_depth + li]
+            u2 = tape_ref[cam_rows + depth * per_depth + L + li]
             lrad, lpx, lpy, lpz = (sph(lig, 0), sph(lig, 1), sph(lig, 2),
                                    sph(lig, 3))
             zz = 1.0 - 2.0 * u1
@@ -243,9 +285,9 @@ def _kernel(scene_ref, vpl_ref, tape_ref,
         rad_b = rad_b + jnp.where(use, td_b * ld_b, 0.0)
 
         # ---- scatter (bsdf.scatter semantics)
-        du1 = tape_ref[depth * per_depth + 2 * L]
-        du2 = tape_ref[depth * per_depth + 2 * L + 1]
-        urr = tape_ref[depth * per_depth + 2 * L + 2]
+        du1 = tape_ref[cam_rows + depth * per_depth + 2 * L]
+        du2 = tape_ref[cam_rows + depth * per_depth + 2 * L + 1]
+        urr = tape_ref[cam_rows + depth * per_depth + 2 * L + 2]
 
         # DIFF: cosine hemisphere about nl with the |w.x|>0.1 ONB trick
         big_x = jnp.abs(nlx) > 0.1
@@ -332,6 +374,38 @@ def _build_tape(cfg: IntegratorConfig, n_lights: int, key: Array,
     return jnp.concatenate([r.reshape(-1, n) for r in rows], axis=0)
 
 
+def _scene_table(scene: Scene) -> Array:
+    """[S, 16]: rad, p(3), e(3), c(3), refl, pad."""
+    s = scene.num_spheres
+    return jnp.concatenate([
+        scene.rad[:, None], scene.p, scene.e, scene.c,
+        scene.refl.astype(jnp.float32)[:, None],
+        jnp.zeros((s, 5), jnp.float32)], axis=1)
+
+
+def _vpl_table(cfg: IntegratorConfig, vpls: VplBuffer | None,
+               vlp_index: Array | None):
+    """VPL window [V, 16]: hp(3), rad(3), nl(3), valid — windowed OUTSIDE
+    the kernel (the window slice is dynamic; the kernel is static)."""
+    if not (cfg.use_vpl and vpls is not None):
+        return jnp.zeros((1, 16), jnp.float32), 1, False
+    lanes = (vlp_index + jnp.arange(cfg.max_vlp)) % cfg.light_points
+    w_hp = vpls.hp[:cfg.vpl_depth, lanes].reshape(-1, 3)
+    w_rad = vpls.rad[:cfg.vpl_depth, lanes].reshape(-1, 3)
+    w_nl = vpls.nl[:cfg.vpl_depth, lanes].reshape(-1, 3)
+    w_valid = vpls.valid[:cfg.vpl_depth, lanes].reshape(-1, 1)
+    n_vpl = w_hp.shape[0]
+    tab = jnp.concatenate(
+        [w_hp, w_rad, w_nl, w_valid.astype(jnp.float32),
+         jnp.zeros((n_vpl, 6), jnp.float32)], axis=1)
+    return tab, n_vpl, True
+
+
+def _row_block(tile_rows: int):
+    return pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "light_idx", "tile_rows",
                                              "interpret"))
 def trace_pallas(scene: Scene, cfg: IntegratorConfig,
@@ -341,9 +415,8 @@ def trace_pallas(scene: Scene, cfg: IntegratorConfig,
                  tile_rows: int = 16, interpret: bool = False) -> Array:
     """Drop-in replacement for `path_tracer.trace` (forward only)."""
     n = rays.o.shape[0]
-    n_spheres = scene.num_spheres
     L = max(len(light_idx), 1)
-    per_depth, k_total = _tape_rows(cfg, L)
+    _, k_total = _tape_rows(cfg, L)
 
     tile = tile_rows * _LANES
     n_pad = ((n + tile - 1) // tile) * tile
@@ -363,52 +436,103 @@ def trace_pallas(scene: Scene, cfg: IntegratorConfig,
     tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
         k_total, rows_total, _LANES)
 
-    # sphere table [S, 16]: rad, p(3), e(3), c(3), refl
-    table = jnp.concatenate([
-        scene.rad[:, None], scene.p, scene.e, scene.c,
-        scene.refl.astype(jnp.float32)[:, None],
-        jnp.zeros((n_spheres, 5), jnp.float32)], axis=1)
-
-    # VPL window [V, 16]: hp(3), rad(3), nl(3), valid — windowed OUTSIDE
-    use_vpl = cfg.use_vpl and vpls is not None
-    if use_vpl:
-        lanes = (vlp_index + jnp.arange(cfg.max_vlp)) % cfg.light_points
-        w_hp = vpls.hp[:cfg.vpl_depth, lanes].reshape(-1, 3)
-        w_rad = vpls.rad[:cfg.vpl_depth, lanes].reshape(-1, 3)
-        w_nl = vpls.nl[:cfg.vpl_depth, lanes].reshape(-1, 3)
-        w_valid = vpls.valid[:cfg.vpl_depth, lanes].reshape(-1, 1)
-        n_vpl = w_hp.shape[0]
-        vpl_tab = jnp.concatenate(
-            [w_hp, w_rad, w_nl, w_valid.astype(jnp.float32),
-             jnp.zeros((n_vpl, 6), jnp.float32)], axis=1)
-    else:
-        n_vpl = 1
-        vpl_tab = jnp.zeros((1, 16), jnp.float32)
-
-    grid = (rows_total // tile_rows,)
-    row_block = pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
+    vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, vpls, vlp_index)
     kernel = functools.partial(
-        _kernel, cfg=cfg, light_idx=tuple(light_idx), n_spheres=n_spheres,
-        n_vpl=n_vpl, use_vpl=use_vpl)
+        _kernel, cfg=cfg, light_idx=tuple(light_idx),
+        n_spheres=scene.num_spheres, n_vpl=n_vpl, use_vpl=use_vpl)
 
+    rb_ = _row_block(tile_rows)
     rr, rg, rb = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(rows_total // tile_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # scene
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # vpls
             pl.BlockSpec((k_total, tile_rows, _LANES),
                          lambda i: (0, i, 0), memory_space=pltpu.VMEM),  # tape
-            row_block, row_block, row_block,                            # o
-            row_block, row_block, row_block,                            # d
+            rb_, rb_, rb_,                                              # o
+            rb_, rb_, rb_,                                              # d
         ],
-        out_specs=(row_block, row_block, row_block),
+        out_specs=(rb_, rb_, rb_),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
             for _ in range(3)),
         interpret=interpret,
-    )(table, vpl_tab, tape, ox, oy, oz, dx, dy, dz)
+    )(_scene_table(scene), vpl_tab, tape, ox, oy, oz, dx, dy, dz)
+
+    rad = jnp.stack([rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)],
+                    axis=-1)
+    return rad[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "light_idx", "width",
+                                             "height", "tile_rows",
+                                             "interpret"))
+def trace_pallas_camera(scene: Scene, cfg: IntegratorConfig,
+                        light_idx: tuple[int, ...], cam, width: int,
+                        height: int, key: Array, sample: Array,
+                        vpls: VplBuffer | None = None,
+                        vlp_index: Array | None = None,
+                        tile_rows: int = 16,
+                        interpret: bool = False) -> Array:
+    """Fully-fused variant: primary-ray generation happens IN the kernel
+    (pixel ids from the grid position, jitter from the tape), removing the
+    six ray planes and the separate camera stage from HBM entirely.
+    Returns radiance ``[H*W, 3]``.
+    """
+    from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
+
+    n = width * height
+    L = max(len(light_idx), 1)
+    _, k_depth = _tape_rows(cfg, L)
+    cam_rows = 2
+    k_total = k_depth + cam_rows
+
+    tile = tile_rows * _LANES
+    n_pad = ((n + tile - 1) // tile) * tile
+    rows_total = n_pad // _LANES
+
+    jit_uv = rng.site_uniforms(key, sample, 0, rng.CAM_JITTER, 2, n)
+    tape = jnp.concatenate([jit_uv, _build_tape(cfg, L, key, sample, n)],
+                           axis=0)
+    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+        k_total, rows_total, _LANES)
+
+    # Camera table [2,16] (see _camera_rays_in_kernel).
+    x_hat, y_hat, d_hat = vm.norm(cam.x), vm.norm(cam.y), vm.norm(cam.dir)
+    temp = jnp.stack([jnp.dot(-x_hat, cam.orig), jnp.dot(-y_hat, cam.orig),
+                      jnp.dot(-d_hat, cam.orig)])
+    row0 = jnp.concatenate([x_hat, y_hat, d_hat, cam.orig,
+                            jnp.zeros((4,), jnp.float32)])
+    row1 = jnp.concatenate([
+        jnp.array([14.0 / width, 10.5 / height], jnp.float32), temp,
+        jnp.zeros((11,), jnp.float32)])
+    cam_tab = jnp.stack([row0, row1])
+
+    vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, vpls, vlp_index)
+    kernel = functools.partial(
+        _kernel, cfg=cfg, light_idx=tuple(light_idx),
+        n_spheres=scene.num_spheres, n_vpl=n_vpl, use_vpl=use_vpl,
+        cam_mode=True, tile_rows=tile_rows, width=width, height=height,
+        cam_rows=cam_rows)
+
+    rb_ = _row_block(tile_rows)
+    rr, rg, rb = pl.pallas_call(
+        kernel,
+        grid=(rows_total // tile_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # scene
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # vpls
+            pl.BlockSpec((k_total, tile_rows, _LANES),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),  # tape
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # cam
+        ],
+        out_specs=(rb_, rb_, rb_),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
+            for _ in range(3)),
+        interpret=interpret,
+    )(_scene_table(scene), vpl_tab, tape, cam_tab)
 
     rad = jnp.stack([rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)],
                     axis=-1)

@@ -91,21 +91,25 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
         vpls, vlp_index = state.vpls, state.vlp_index
 
     # -- Eye pass: one jittered sample per pixel (device.cu:560-600).
-    jit_uv = rng.site_uniforms(state.key, state.sample, 0, rng.CAM_JITTER,
-                               2, n)
-    rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
-                                px, py)
     # The pallas megakernel fully unrolls its sphere scans — right for the
     # typical <=tens-of-spheres scene, wrong for complex.scn-scale (783);
-    # fall back to the XLA tracer there.
+    # fall back to the XLA tracer there. Its camera variant generates the
+    # primary rays inside the kernel (same jitter tape site).
     if backend == "pallas" and not direct_only and scene.num_spheres <= 64:
-        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
+            trace_pallas_camera,
+        )
 
-        radiance = trace_pallas(
-            scene, cfg, light_idx, rays, state.key, state.sample,
-            vpls=vpls if cfg.use_vpl else None, vlp_index=vlp_index,
+        radiance = trace_pallas_camera(
+            scene, cfg, light_idx, cam, width, height, state.key,
+            state.sample, vpls=vpls if cfg.use_vpl else None,
+            vlp_index=vlp_index,
         ).reshape(height, width, 3)
     else:
+        jit_uv = rng.site_uniforms(state.key, state.sample, 0,
+                                   rng.CAM_JITTER, 2, n)
+        rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
+                                    px, py)
         radiance = path_tracer.trace(
             scene, cfg, light_idx, rays, state.key, state.sample,
             vpls=vpls if cfg.use_vpl else None,

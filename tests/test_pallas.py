@@ -81,3 +81,28 @@ class TestPallasParity:
         # necessarily loose.
         _compare(builtin.cornell_box(), IntegratorConfig.cpu_golden(),
                  w=10, h=7, max_bad_frac=0.08)
+
+
+class TestPallasCameraMode:
+    def test_in_kernel_camera_matches_external_rays(self):
+        scene = builtin.cornell_box()
+        cfg = IntegratorConfig.cpu_golden()
+        key = jax.random.key(3)
+        li = static_light_indices(scene)
+        w, h = 16, 12
+        rays = _rays(scene, builtin.DEFAULT_CAMERA_ORIG,
+                     builtin.DEFAULT_CAMERA_TARGET, w, h, key)
+        ref = np.asarray(trace_pallas(scene, cfg, li, rays, key,
+                                      jnp.int32(0), interpret=True))
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
+            trace_pallas_camera,
+        )
+
+        got = np.asarray(trace_pallas_camera(scene, cfg, li, cam, w, h, key,
+                                             jnp.int32(0), interpret=True))
+        err = np.abs(got - ref)
+        bad = np.any(err > (2e-3 + 2e-3 * np.abs(ref)), axis=-1)
+        assert bad.mean() <= 0.035, (
+            f"{bad.mean():.3%} disagree, max {err.max():.4g}")

@@ -78,6 +78,21 @@ def pixel_grid(width: int, height: int) -> tuple[Array, Array]:
     return x.reshape(-1), y.reshape(-1)
 
 
+def stratify_jitter(u: Array, v: Array, sample, k: int) -> tuple[Array, Array]:
+    """Map uniform jitter into the sample's subpixel stratum.
+
+    Quality upgrade over the reference's independent jitter
+    (``device.cu:565-566``): successive samples cycle a k x k stratum grid,
+    so each pixel's first k^2 samples cover the pixel area evenly
+    (O(1/n) error decay on smooth regions instead of O(1/sqrt n)).
+    """
+    s = jnp.asarray(sample)
+    sx = (s % k).astype(jnp.float32)
+    sy = ((s // k) % k).astype(jnp.float32)
+    inv = 1.0 / k
+    return (sx + u) * inv, (sy + v) * inv
+
+
 # -- Interactive-UI-equivalent camera motions (display_func.c:278-437) -------
 
 MOVE_STEP = 10.0

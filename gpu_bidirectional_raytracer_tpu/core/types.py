@@ -198,6 +198,9 @@ class IntegratorConfig:
     # has 30000 samples (hardcoded literal, device.cu:607; the kernel arg
     # carrying it is dead).
     max_samples: int = 30000
+    # Subpixel jitter stratification (0 = reference-faithful independent
+    # jitter; k > 0 cycles a k x k stratum grid across samples).
+    stratify: int = 0
 
     @staticmethod
     def cpu_golden() -> "IntegratorConfig":

@@ -493,6 +493,11 @@ def trace_pallas_camera(scene: Scene, cfg: IntegratorConfig,
     rows_total = n_pad // _LANES
 
     jit_uv = rng.site_uniforms(key, sample, 0, rng.CAM_JITTER, 2, n)
+    if cfg.stratify > 0:
+        from gpu_bidirectional_raytracer_tpu.camera import stratify_jitter
+
+        ju, jv = stratify_jitter(jit_uv[0], jit_uv[1], sample, cfg.stratify)
+        jit_uv = jnp.stack([ju, jv])
     tape = jnp.concatenate([jit_uv, _build_tape(cfg, L, key, sample, n)],
                            axis=0)
     tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(

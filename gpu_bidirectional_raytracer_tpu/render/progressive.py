@@ -108,8 +108,11 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
     else:
         jit_uv = rng.site_uniforms(state.key, state.sample, 0,
                                    rng.CAM_JITTER, 2, n)
-        rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
-                                    px, py)
+        ju, jv = jit_uv[0], jit_uv[1]
+        if cfg.stratify > 0:
+            ju, jv = cam_mod.stratify_jitter(ju, jv, state.sample,
+                                             cfg.stratify)
+        rays = cam_mod.primary_rays(cam, width, height, ju, jv, px, py)
         radiance = path_tracer.trace(
             scene, cfg, light_idx, rays, state.key, state.sample,
             vpls=vpls if cfg.use_vpl else None,

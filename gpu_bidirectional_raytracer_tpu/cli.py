@@ -144,7 +144,7 @@ def main(argv=None) -> int:
     p.add_argument("--snapshot-every", type=int, default=0)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
+    p.add_argument("--backend", choices=("auto", "xla", "pallas"), default="auto",
                    help="eye-trace implementation (pallas = fused TPU "
                         "megakernel, ~2x faster on TPU)")
     p.add_argument("--tile-rows", type=int, default=None,
@@ -159,7 +159,7 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=96)
     p.add_argument("--mode", choices=("gpu", "cpu"), default="gpu")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", choices=("xla", "pallas"), default="xla")
+    p.add_argument("--backend", choices=("auto", "xla", "pallas"), default="auto")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("optimize", help="inverse rendering against a target")

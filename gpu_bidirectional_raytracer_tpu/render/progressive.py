@@ -216,10 +216,15 @@ class Renderer:
     def __init__(self, scene: Scene, cam_orig: Sequence[float],
                  cam_target: Sequence[float], width: int, height: int,
                  cfg: IntegratorConfig | None = None, seed: int = 0,
-                 reference_dims: bool = False, backend: str = "xla",
+                 reference_dims: bool = False, backend: str = "auto",
                  tile_rows: int | None = None):
         if reference_dims:
             width, height = cam_mod.reference_dims(width, height)
+        if backend == "auto":
+            # The fused megakernel is ~2-3x the XLA tracer on TPU; on CPU
+            # its interpreter/Mosaic path has no advantage.
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       and scene.num_spheres <= 64 else "xla")
         self.backend = backend
         self.tile_rows = tile_rows
         self.cfg = cfg or IntegratorConfig()

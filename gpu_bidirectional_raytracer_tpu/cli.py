@@ -10,6 +10,8 @@ Usage:
         [--width 640] [--height 480] [--spp 64] [--out out.ppm]
         [--mode gpu|cpu] [--reference-dims] [--snapshot-every N]
         [--checkpoint DIR] [--resume]
+    python -m gpu_bidirectional_raytracer_tpu.cli view [scene.scn]
+        [--width 128] [--height 96]         # interactive terminal viewer
     python -m gpu_bidirectional_raytracer_tpu.cli optimize target.ppm
         [scene.scn] [--steps 100] [--lr 0.05] [--params p,rad,c,e]
 """

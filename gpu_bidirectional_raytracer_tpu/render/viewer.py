@@ -150,7 +150,6 @@ def run_viewer(renderer, fps: float = 4.0) -> None:
                 r.rotate_camera("yaw",
                                 -ROTATE_STEP if k == "LEFT" else ROTATE_STEP)
             elif k in ("PGUP", "PGDN"):
-                t = np.asarray(r.camera.target)
                 dy = MOVE_STEP if k == "PGUP" else -MOVE_STEP
                 from gpu_bidirectional_raytracer_tpu.core.types import Camera
 

@@ -75,9 +75,11 @@ def cmd_render(args) -> int:
         if args.checkpoint and (s + 1) % max(args.snapshot_every or 16, 1) == 0:
             ckpt.save(args.checkpoint, r.state)
     elapsed = time.time() - t0
-    n = r.width * r.height * (args.spp - start)
-    print(f"Rendered {args.spp - start} passes in {elapsed:.3f}s "
-          f"({n / max(elapsed, 1e-9) / 1e3:.1f}K samples/sec)", file=sys.stderr)
+    from gpu_bidirectional_raytracer_tpu.utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter(pixels_per_pass=r.width * r.height,
+                            total_time=elapsed, passes=args.spp - start)
+    print(meter.report(), file=sys.stderr)
 
     film.write_image(np.asarray(r.state.colors), args.out)
     print(f"wrote {args.out}", file=sys.stderr)

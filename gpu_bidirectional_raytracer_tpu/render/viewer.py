@@ -94,7 +94,7 @@ ROTATE_STEP = 2.0 * np.pi / 180.0
 SPHERE_STEP = 5.0              # 0.5 * MOVE_STEP (display_func.c:348)
 
 
-def run_viewer(renderer, fps: float = 4.0) -> None:
+def run_viewer(renderer) -> None:
     """Drive a `Renderer` interactively until q/ESC."""
     from gpu_bidirectional_raytracer_tpu.render import film
 

@@ -81,8 +81,8 @@ def cmd_render(args) -> int:
                             total_time=elapsed, passes=args.spp - start)
     print(meter.report(), file=sys.stderr)
 
-    film.write_image(np.asarray(r.state.colors), args.out)
-    print(f"wrote {args.out}", file=sys.stderr)
+    written = film.write_image(np.asarray(r.state.colors), args.out)
+    print(f"wrote {written}", file=sys.stderr)
     if args.checkpoint:
         ckpt.save(args.checkpoint, r.state)
     return 0

@@ -69,7 +69,11 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     sphere_point = lp[None, :, :] + lrad[None, :, None] * usp
 
     sdir = sphere_point - hp[:, None, :]                    # [N, L, 3]
-    length = jnp.sqrt(jnp.sum(sdir * sdir, axis=-1))        # [N, L]
+    # Double-where: d(sqrt)/dx = inf at 0 would NaN gradients if a fitted
+    # light point coincides with a (masked) shading point.
+    len_sq = jnp.sum(sdir * sdir, axis=-1)                  # [N, L]
+    pos = len_sq > 0.0
+    length = jnp.where(pos, jnp.sqrt(jnp.where(pos, len_sq, 1.0)), 0.0)
     sdir = sdir / jnp.maximum(length, _TINY)[..., None]
 
     wo = jnp.sum(sdir * usp, axis=-1)                       # [N, L]
@@ -112,7 +116,9 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
     k = w_hp.shape[0]
 
     sdir = w_hp[None, :, :] - hp[:, None, :]                       # [N, K, 3]
-    length = jnp.sqrt(jnp.sum(sdir * sdir, axis=-1))
+    len_sq = jnp.sum(sdir * sdir, axis=-1)
+    pos = len_sq > 0.0
+    length = jnp.where(pos, jnp.sqrt(jnp.where(pos, len_sq, 1.0)), 0.0)
     sdir = sdir / jnp.maximum(length, _TINY)[..., None]
 
     wo = jnp.sum(sdir * w_nl[None, :, :], axis=-1)                 # [N, K]

@@ -75,6 +75,7 @@ int scn_parse(const char* text, int64_t len, float cam_out[6],
     if (!read_token(&p, end, &tok) || tok != "size") return -3;
     float fcount;
     if (!read_float(&p, end, &fcount)) return -4;
+    if (fcount != (float)(int64_t)fcount) return -4;  // must be integral
     int64_t n = (int64_t)fcount;
     if (n <= 0 || n > (int64_t)1e8) return -5;
 
@@ -91,8 +92,9 @@ int scn_parse(const char* text, int64_t len, float cam_out[6],
                 return -8;
             }
         }
-        int mat = (int)spheres[i * 11 + 10];
-        if (mat < 0 || mat > 3) {
+        float fmat = spheres[i * 11 + 10];
+        int mat = (int)fmat;
+        if (fmat != (float)mat || mat < 0 || mat > 3) {
             std::free(spheres);
             return -9;
         }

@@ -260,7 +260,7 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
                 occ = jnp.zeros(shape, bool)
                 maxt = slen - EPSILON
                 for s in range(n_spheres):
-                    e_zero = True  # vacuum: only non-emissive spheres block
+                    # vacuum test: only non-emissive spheres block
                     ts = _sphere_t(sph(s, 1), sph(s, 2), sph(s, 3),
                                    sph(s, 0), hx, hy, hz, sdx, sdy, sdz)
                     blocked = (ts > 0.0) & (ts < maxt)

@@ -65,13 +65,15 @@ def write_png(colors, path: str | os.PathLike) -> bool:
     return True
 
 
-def write_image(colors, path: str | os.PathLike) -> None:
-    """Write by extension: .png via PIL when available, else P3 PPM."""
+def write_image(colors, path: str | os.PathLike) -> str:
+    """Write by extension: .png via PIL when available, else P3 PPM.
+    Returns the path actually written (PPM fallback when PIL is absent)."""
     if str(path).lower().endswith(".png"):
         if write_png(colors, path):
-            return
+            return str(path)
         path = str(path)[:-4] + ".ppm"
     write_ppm(colors, path)
+    return str(path)
 
 
 def snapshot_name(max_vlp: int, total_time: float, sample: int) -> str:

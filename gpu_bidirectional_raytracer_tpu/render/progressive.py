@@ -147,12 +147,12 @@ def _accumulate(colors: Array, counter: Array, radiance: Array,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
                                              "band_h", "light_idx",
-                                             "backend"))
+                                             "backend", "direct_only"))
 def eye_band_pass(scene: Scene, cam: Camera, cfg: IntegratorConfig,
                   width: int, height: int, y0: Array, band_h: int,
                   light_idx: tuple[int, ...], key: Array, sample: Array,
                   vpls: VplBuffer, vlp_index: Array,
-                  backend: str = "xla") -> Array:
+                  backend: str = "xla", direct_only: bool = False) -> Array:
     """Trace one horizontal band of pixel rows — the memory-bounded path
     for large frames x large scenes (the all-pairs intersection tensor is
     ``band_h*width x spheres`` instead of the full frame).
@@ -167,9 +167,13 @@ def eye_band_pass(scene: Scene, cam: Camera, cfg: IntegratorConfig,
     py = jnp.repeat(jnp.arange(band_h), width) + y0
 
     jit_uv = rng.site_uniforms(band_key, sample, 0, rng.CAM_JITTER, 2, n)
-    rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
-                                px, py)
-    if backend == "pallas":
+    ju, jv = jit_uv[0], jit_uv[1]
+    if cfg.stratify > 0:
+        ju, jv = cam_mod.stratify_jitter(ju, jv, sample, cfg.stratify)
+    rays = cam_mod.primary_rays(cam, width, height, ju, jv, px, py)
+    # Same pallas eligibility rule as render_pass: small scenes, forward
+    # estimator only.
+    if backend == "pallas" and not direct_only and scene.num_spheres <= 64:
         from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
 
         rad = trace_pallas(scene, cfg, light_idx, rays, band_key, sample,
@@ -179,7 +183,8 @@ def eye_band_pass(scene: Scene, cam: Camera, cfg: IntegratorConfig,
         rad = path_tracer.trace(scene, cfg, light_idx, rays, band_key,
                                 sample,
                                 vpls=vpls if cfg.use_vpl else None,
-                                vlp_index=vlp_index)
+                                vlp_index=vlp_index,
+                                direct_only=direct_only)
     return rad.reshape(band_h, width, 3)
 
 
@@ -227,6 +232,7 @@ class Renderer:
                        and scene.num_spheres <= 64 else "xla")
         self.backend = backend
         self.tile_rows = tile_rows
+        self.seed = seed
         self.cfg = cfg or IntegratorConfig()
         self.width, self.height = width, height
         self.scene = scene
@@ -237,13 +243,13 @@ class Renderer:
 
     def step(self, direct_only: bool = False) -> RenderState:
         if self.tile_rows:
-            return self._step_tiled()
+            return self._step_tiled(direct_only)
         self.state = render_pass(self.scene, self.camera, self.state,
                                  self.cfg, self.width, self.height,
                                  self.light_idx, direct_only, self.backend)
         return self.state
 
-    def _step_tiled(self) -> RenderState:
+    def _step_tiled(self, direct_only: bool = False) -> RenderState:
         st = self.state
         if self.cfg.use_vpl and self.light_idx:
             vpls, vlp_index = vpl_update(self.scene, st, self.cfg,
@@ -257,7 +263,7 @@ class Renderer:
             bands.append(eye_band_pass(
                 self.scene, self.camera, self.cfg, self.width, self.height,
                 jnp.int32(y0), bh, self.light_idx, st.key, st.sample,
-                vpls, vlp_index, self.backend))
+                vpls, vlp_index, self.backend, direct_only))
             y0 += bh
         radiance = jnp.concatenate(bands, axis=0)
         colors, counter = _accumulate(st.colors, st.counter, radiance,
@@ -276,8 +282,7 @@ class Renderer:
 
     def reset(self) -> None:
         """``ReInit``: restart accumulation, keep scene+camera."""
-        seed = 0
-        self.state = init_state(self.width, self.height, self.cfg, seed)
+        self.state = init_state(self.width, self.height, self.cfg, self.seed)
 
     def move_camera(self, axis: str, amount: float) -> None:
         self.camera = cam_mod.translate(self.camera, axis, amount,

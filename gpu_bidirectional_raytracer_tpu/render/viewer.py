@@ -139,16 +139,21 @@ def run_viewer(renderer) -> None:
                 film.write_ppm(img, name)
             elif k in ("w", "s"):
                 r.move_camera("dir", MOVE_STEP if k == "w" else -MOVE_STEP)
+                t0 = time.time()
             elif k in ("a", "d"):
                 r.move_camera("x", MOVE_STEP if k == "d" else -MOVE_STEP)
+                t0 = time.time()
             elif k in ("r", "f"):
                 r.move_camera("y_world", MOVE_STEP if k == "r" else -MOVE_STEP)
+                t0 = time.time()
             elif k in ("UP", "DOWN"):
                 r.rotate_camera("pitch",
                                 -ROTATE_STEP if k == "UP" else ROTATE_STEP)
+                t0 = time.time()
             elif k in ("LEFT", "RIGHT"):
                 r.rotate_camera("yaw",
                                 -ROTATE_STEP if k == "LEFT" else ROTATE_STEP)
+                t0 = time.time()
             elif k in ("PGUP", "PGDN"):
                 dy = MOVE_STEP if k == "PGUP" else -MOVE_STEP
                 from gpu_bidirectional_raytracer_tpu.core.types import Camera
@@ -157,6 +162,7 @@ def run_viewer(renderer) -> None:
                     r.camera.orig, r.camera.target.at[1].add(dy),
                     r.width, r.height)
                 r.reset()
+                t0 = time.time()
             elif k == "+":
                 current = (current + 1) % r.scene.num_spheres
             elif k == "-":

@@ -55,12 +55,23 @@ def parse_scene(text: str) -> tuple[np.ndarray, np.ndarray, Scene]:
                 f"line {lineno}: '{expect}' needs {nfields} fields, got {len(toks) - 1}")
         return lineno, toks[1:]
 
-    _, cam = next_line("camera", 6)
-    cam = np.asarray([float(v) for v in cam], dtype=np.float32)
+    def _floats(lineno, toks, what):
+        try:
+            return [float(v) for v in toks]
+        except ValueError:
+            raise SceneParseError(
+                f"line {lineno}: non-numeric {what} field") from None
+
+    lineno, cam = next_line("camera", 6)
+    cam = np.asarray(_floats(lineno, cam, "camera"), dtype=np.float32)
     orig, target = cam[:3], cam[3:]
 
     lineno, (count,) = next_line("size", 1)
-    count = int(count)
+    try:
+        count = int(count)
+    except ValueError:
+        raise SceneParseError(
+            f"line {lineno}: sphere count must be an integer") from None
     if count <= 0:
         raise SceneParseError(f"line {lineno}: sphere count must be positive")
 
@@ -71,8 +82,12 @@ def parse_scene(text: str) -> tuple[np.ndarray, np.ndarray, Scene]:
     refl = np.empty((count,), dtype=np.int32)
     for i in range(count):
         lineno, f = next_line("sphere", 11)
-        vals = [float(v) for v in f[:10]]
-        mat = int(f[10])
+        vals = _floats(lineno, f[:10], f"sphere #{i}")
+        try:
+            mat = int(f[10])
+        except ValueError:
+            raise SceneParseError(
+                f"line {lineno}: material must be an integer") from None
         if mat not in _MATERIALS:
             raise SceneParseError(f"line {lineno}: bad material {mat} for sphere #{i}")
         rad[i] = vals[0]

@@ -19,6 +19,7 @@ def test_roundtrip_and_bitwise_resume(tmp_path):
 
     r1 = _renderer()
     r1.render(3)
+    colors_at_3 = np.asarray(r1.state.colors).copy()
     ckpt.save(d, r1.state)
     r1.render(2)  # continue to 5 in-process
 
@@ -26,9 +27,7 @@ def test_roundtrip_and_bitwise_resume(tmp_path):
     restored = ckpt.restore(d, init_state(16, 12, r2.cfg))
     assert restored is not None
     assert int(restored.sample) == 3
-    np.testing.assert_array_equal(np.asarray(restored.colors),
-                                  np.asarray(r1.state.colors) * 0 +
-                                  np.asarray(restored.colors))
+    np.testing.assert_array_equal(np.asarray(restored.colors), colors_at_3)
     r2.state = restored
     r2.render(2)  # resume to 5
 

@@ -64,10 +64,25 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
                     light_idx: tuple[int, ...], spp: int = 1) -> Array:
     """Pure differentiable forward: mean radiance image ``[H, W, 3]``.
 
-    Uses the unidirectional estimator (no VPLs) — the VPL buffer is a
-    correlated control variate that adds gradient variance; gradients are
-    cleaner through direct NEE. Use `render_pass` for beauty renders.
+    Honors ``cfg.use_vpl``: with the bidirectional (GPU-intent) config the
+    light subpaths are RE-TRACED inside the differentiable graph each
+    sample, so gradients flow through emission, light geometry, albedo
+    throughput, AND the eye-side gather (the adjoint of the estimator at
+    ``device.cu:457-542``) — not just the unidirectional NEE half. The
+    gather window is the freshly traced ``[0, max_vlp)`` block (each sample
+    is its own VPL refresh; the progressive window slide is a variance-
+    reduction schedule for beauty renders, not part of the estimator).
+
+    Default config choice for *fitting* (see `InverseRenderer`): the
+    unidirectional config remains the recommended default — measured with
+    tools/bench_grad_variance.py (Cornell 24x18, 2spp, 12 tapes, matched
+    GPU gains), the VPL estimator's albedo-gradient std is ~3.1x the
+    unidirectional one at equal sample count, because each light subpath
+    is shared by every pixel (correlated noise the mean-over-pixels loss
+    cannot average away).
     """
+    from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
+
     px, py = cam_mod.pixel_grid(width, height)
     n = width * height
 
@@ -75,8 +90,15 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
         jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)
         rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
                                     px, py)
+        if cfg.use_vpl and light_idx:
+            vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
+                                                  key, jnp.int32(s))
+            vlp_index = jnp.int32(0)
+        else:
+            vpls, vlp_index = None, None
         rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
-                                jnp.int32(s), remat=True)
+                                jnp.int32(s), vpls=vpls, vlp_index=vlp_index,
+                                remat=True)
         return acc + rad
 
     acc = jax.lax.fori_loop(

@@ -40,7 +40,8 @@ from gpu_bidirectional_raytracer_tpu.integrators import intersect as isect
 def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
           rays: Rays, key: Array, sample: Array,
           vpls: VplBuffer | None = None, vlp_index: Array | None = None,
-          direct_only: bool = False, remat: bool = False) -> Array:
+          direct_only: bool = False, remat: bool = False,
+          lane_offset=None, lane_total: int | None = None) -> Array:
     """Trace a batch of eye rays to radiance ``[N, 3]``.
 
     ``key``/``sample`` address the random tape; the same coordinates fed to
@@ -52,9 +53,19 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     recomputed — 3.5x faster gradients on TPU (the backward sweep is
     otherwise bound on spilling every bounce's intermediates to HBM).
     Identical values either way; used by the differentiable path.
+
+    ``lane_offset``/``lane_total``: when the ray batch is a window of a
+    larger frame (banded rendering, shard-local tracing), draw tape columns
+    ``[lane_offset, lane_offset+N)`` of the global ``lane_total``-wide tape
+    so the result is bitwise-equal to tracing the whole frame at once.
     """
     n = rays.o.shape[0]
     n_lights = max(len(light_idx), 1)
+
+    def draws(depth, purpose, k):
+        return rng.site_uniforms(key, sample, depth, purpose, k, n,
+                                 lane_offset=lane_offset,
+                                 lane_total=lane_total)
 
     def body(depth, state):
         o, d, rad, throughput, specular, alive = state
@@ -87,8 +98,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         # NEE at diffuse vertices (geomfunc.h:535-544).
         is_diff = obj_refl == DIFF
         tp_after_diff = throughput * obj_c
-        light_u = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV,
-                                    2 * n_lights, n).reshape(n_lights, 2, n)
+        light_u = draws(depth, rng.LIGHT_UV,
+                        2 * n_lights).reshape(n_lights, 2, n)
         ld = nee.sample_lights(scene, cfg, light_idx, hp, nl, light_u,
                                vpls=vpls, vlp_index=vlp_index)
         rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
@@ -99,8 +110,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             alive = alive & jnp.logical_not(is_diff)
 
         # Scatter (masked lanes compute everything; select at the end).
-        diff_u = rng.site_uniforms(key, sample, depth, rng.DIFF_UV, 2, n)
-        rr_u = rng.site_uniforms(key, sample, depth, rng.REFR_RR, 1, n)[0]
+        diff_u = draws(depth, rng.DIFF_UV, 2)
+        rr_u = draws(depth, rng.REFR_RR, 1)[0]
         sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl,
                           diff_u[0], diff_u[1], rr_u)
 

@@ -359,14 +359,23 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
 
 
 def _build_tape(cfg: IntegratorConfig, n_lights: int, key: Array,
-                sample: Array, n: int) -> Array:
-    """[K, n] tape with the SAME site addressing as path_tracer.trace."""
+                sample: Array, n: int, lane_offset=None,
+                lane_total: int | None = None) -> Array:
+    """[K, n] tape with the SAME site addressing as path_tracer.trace.
+
+    ``lane_offset``/``lane_total``: window of the global tape (see
+    `rng.site_uniforms`) so banded/sharded pallas renders are bitwise-equal
+    to the monolithic render.
+    """
     L = max(n_lights, 1)
     rows = []
     for depth in range(cfg.max_depth):
-        lu = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV, 2 * L, n)
-        du = rng.site_uniforms(key, sample, depth, rng.DIFF_UV, 2, n)
-        ru = rng.site_uniforms(key, sample, depth, rng.REFR_RR, 1, n)
+        lu = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV, 2 * L, n,
+                               lane_offset=lane_offset, lane_total=lane_total)
+        du = rng.site_uniforms(key, sample, depth, rng.DIFF_UV, 2, n,
+                               lane_offset=lane_offset, lane_total=lane_total)
+        ru = rng.site_uniforms(key, sample, depth, rng.REFR_RR, 1, n,
+                               lane_offset=lane_offset, lane_total=lane_total)
         rows.append(lu.reshape(L, 2, n)[:, 0, :])   # u1 for L lights
         rows.append(lu.reshape(L, 2, n)[:, 1, :])   # u2 for L lights
         rows.append(du)
@@ -407,12 +416,13 @@ def _row_block(tile_rows: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "light_idx", "tile_rows",
-                                             "interpret"))
+                                             "interpret", "lane_total"))
 def trace_pallas(scene: Scene, cfg: IntegratorConfig,
                  light_idx: tuple[int, ...], rays: Rays, key: Array,
                  sample: Array, vpls: VplBuffer | None = None,
                  vlp_index: Array | None = None,
-                 tile_rows: int = 16, interpret: bool = False) -> Array:
+                 tile_rows: int = 16, interpret: bool = False,
+                 lane_offset=None, lane_total: int | None = None) -> Array:
     """Drop-in replacement for `path_tracer.trace` (forward only)."""
     n = rays.o.shape[0]
     L = max(len(light_idx), 1)
@@ -432,7 +442,7 @@ def trace_pallas(scene: Scene, cfg: IntegratorConfig,
     dy = plane(rays.d[:, 1])
     dz = plane(rays.d[:, 2], fill=1.0)
 
-    tape = _build_tape(cfg, L, key, sample, n)
+    tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
     tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
         k_total, rows_total, _LANES)
 

@@ -69,3 +69,43 @@ def pad_height_to(mesh: Mesh, height: int) -> int:
     """Smallest height >= ``height`` divisible by the mesh size."""
     n = mesh.size
     return ((height + n - 1) // n) * n
+
+
+def trace_pallas_sharded(scene, cfg, light_idx, rays, key, sample,
+                         mesh: Mesh, vpls=None, vlp_index=None,
+                         axis: str = RAYS_AXIS, interpret: bool = False):
+    """Run the fused pallas eye-trace megakernel SPMD over ``mesh``.
+
+    Each device runs its own kernel instance on its ray shard and draws
+    tape columns ``[axis_index * shard_n, ...)`` of the GLOBAL ``n``-lane
+    tape (`rng.site_uniforms` ``lane_offset``), so the sharded render is
+    bitwise-equal to the single-device `trace_pallas` — the pod-scale
+    deployment path for the pallas backend, not just the XLA tracer.
+    Scene, VPL buffer, and tape key are replicated; there is no cross-chip
+    traffic inside the kernel at all (rays are embarrassingly parallel,
+    SURVEY.md 2.12-bis).
+    """
+    from jax import shard_map
+
+    from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
+
+    n = rays.o.shape[0]
+    if n % mesh.size:
+        raise ValueError(f"ray count {n} not divisible by mesh size "
+                         f"{mesh.size}; pad the frame")
+    shard_n = n // mesh.size
+
+    def local(scene, rays_shard, key, sample, vpls, vlp_index):
+        off = jax.lax.axis_index(axis) * shard_n
+        return trace_pallas(scene, cfg, light_idx, rays_shard, key, sample,
+                            vpls=vpls, vlp_index=vlp_index,
+                            interpret=interpret,
+                            lane_offset=off, lane_total=n)
+
+    rep = P()
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, P(axis), rep, rep, rep, rep),
+        out_specs=P(axis),
+        check_vma=False,
+    )(scene, rays, key, sample, vpls, vlp_index)

@@ -53,42 +53,46 @@ def init_state(width: int, height: int, cfg: IntegratorConfig,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
-                                             "light_idx", "direct_only",
-                                             "backend"))
 def render_pass(scene: Scene, cam: Camera, state: RenderState,
                 cfg: IntegratorConfig, width: int, height: int,
                 light_idx: tuple[int, ...],
                 direct_only: bool = False,
                 backend: str = "xla") -> RenderState:
-    """One progressive pass over every pixel. Pure; jitted once per config.
+    """One progressive pass over every pixel. Pure.
+
+    Two jitted programs: the (cheap, conditional) `vpl_update` and the
+    fused eye pass. The VPL refresh runs as the SAME compiled program the
+    tiled driver uses — fusing it into the eye pass re-rounds its fma
+    contractions 1 ulp differently, which would break the tiled == untiled
+    bitwise guarantee (tests/test_render.py::TestTiledRendering).
 
     ``backend='pallas'`` runs the fused eye-trace megakernel
     (`ops.pallas_trace`) — ~2x the XLA tracer's throughput on TPU, same
     estimator/tape (statistically identical; per-pixel float divergence
     only).
     """
-    n = width * height
-    px, py = cam_mod.pixel_grid(width, height)
-
     # -- Bidirectional schedule: refresh VPLs + slide window when due.
     if cfg.use_vpl and light_idx:
-        period = max(cfg.max_iter - 1, 1)
-        due = (state.sample % period) == 0
-
-        def refresh(_):
-            vpls = light_tracer.trace_light_paths(
-                scene, cfg, light_idx, state.key, state.sample)
-            vlp_index = jnp.where(
-                state.sample == 0,
-                jnp.int32(0),
-                (state.vlp_index + cfg.max_vlp) % cfg.light_points)
-            return vpls, vlp_index
-
-        vpls, vlp_index = jax.lax.cond(
-            due, refresh, lambda _: (state.vpls, state.vlp_index), None)
+        vpls, vlp_index = vpl_update(scene, state, cfg, light_idx)
     else:
         vpls, vlp_index = state.vpls, state.vlp_index
+    return eye_accumulate_pass(scene, cam, state, vpls, vlp_index, cfg,
+                               width, height, light_idx, direct_only,
+                               backend)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx", "direct_only",
+                                             "backend"))
+def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
+                        vpls: VplBuffer, vlp_index: Array,
+                        cfg: IntegratorConfig, width: int, height: int,
+                        light_idx: tuple[int, ...],
+                        direct_only: bool = False,
+                        backend: str = "xla") -> RenderState:
+    """The fused eye-trace + progressive-mean step (VPLs precomputed)."""
+    n = width * height
+    px, py = cam_mod.pixel_grid(width, height)
 
     # -- Eye pass: one jittered sample per pixel (device.cu:560-600).
     # The pallas megakernel fully unrolls its sphere scans — right for the
@@ -145,10 +149,30 @@ def _accumulate(colors: Array, counter: Array, radiance: Array,
     return colors, counter
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def frame_rays(cam: Camera, cfg: IntegratorConfig, width: int, height: int,
+               key: Array, sample: Array):
+    """Jittered primary rays for the whole frame (device.cu:560-600).
+
+    Generated ONCE per pass and sliced per band by the tiled driver:
+    band-shaped ray generation can round 1 ulp differently under XLA's
+    shape-dependent fusion, which would break tiled == untiled bitwise
+    equality. Full-frame rays are ~24 bytes/pixel — negligible next to the
+    per-band intersection tensor the tiling exists to bound.
+    """
+    n = width * height
+    px, py = cam_mod.pixel_grid(width, height)
+    jit_uv = rng.site_uniforms(key, sample, 0, rng.CAM_JITTER, 2, n)
+    ju, jv = jit_uv[0], jit_uv[1]
+    if cfg.stratify > 0:
+        ju, jv = cam_mod.stratify_jitter(ju, jv, sample, cfg.stratify)
+    return cam_mod.primary_rays(cam, width, height, ju, jv, px, py)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
                                              "band_h", "light_idx",
                                              "backend", "direct_only"))
-def eye_band_pass(scene: Scene, cam: Camera, cfg: IntegratorConfig,
+def eye_band_pass(scene: Scene, rays, cfg: IntegratorConfig,
                   width: int, height: int, y0: Array, band_h: int,
                   light_idx: tuple[int, ...], key: Array, sample: Array,
                   vpls: VplBuffer, vlp_index: Array,
@@ -157,34 +181,30 @@ def eye_band_pass(scene: Scene, cam: Camera, cfg: IntegratorConfig,
     for large frames x large scenes (the all-pairs intersection tensor is
     ``band_h*width x spheres`` instead of the full frame).
 
-    The band's random tape is keyed by ``fold_in(key, y0)``: deterministic
-    for a fixed banding, but a different noise realization than the
-    untiled render (band-local counter spaces).
+    ``rays`` is the band's slice of the full-frame `frame_rays` output; the
+    band draws columns ``[y0*width, (y0+band_h)*width)`` of the GLOBAL
+    per-frame random tape (`rng.site_uniforms` with ``lane_offset``), so a
+    tiled render is bitwise-equal to the monolithic one — the same replay
+    invariance the sharded path guarantees (rng.py:63-76).
     """
-    n = band_h * width
-    band_key = jax.random.fold_in(key, y0.astype(jnp.uint32))
-    px = jnp.tile(jnp.arange(width), band_h)
-    py = jnp.repeat(jnp.arange(band_h), width) + y0
-
-    jit_uv = rng.site_uniforms(band_key, sample, 0, rng.CAM_JITTER, 2, n)
-    ju, jv = jit_uv[0], jit_uv[1]
-    if cfg.stratify > 0:
-        ju, jv = cam_mod.stratify_jitter(ju, jv, sample, cfg.stratify)
-    rays = cam_mod.primary_rays(cam, width, height, ju, jv, px, py)
+    frame_n = width * height
+    offset = y0.astype(jnp.int32) * width
     # Same pallas eligibility rule as render_pass: small scenes, forward
     # estimator only.
     if backend == "pallas" and not direct_only and scene.num_spheres <= 64:
         from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
 
-        rad = trace_pallas(scene, cfg, light_idx, rays, band_key, sample,
+        rad = trace_pallas(scene, cfg, light_idx, rays, key, sample,
                            vpls=vpls if cfg.use_vpl else None,
-                           vlp_index=vlp_index)
+                           vlp_index=vlp_index,
+                           lane_offset=offset, lane_total=frame_n)
     else:
-        rad = path_tracer.trace(scene, cfg, light_idx, rays, band_key,
+        rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
                                 sample,
                                 vpls=vpls if cfg.use_vpl else None,
                                 vlp_index=vlp_index,
-                                direct_only=direct_only)
+                                direct_only=direct_only,
+                                lane_offset=offset, lane_total=frame_n)
     return rad.reshape(band_h, width, 3)
 
 
@@ -242,7 +262,15 @@ class Renderer:
         self.state = init_state(width, height, self.cfg, seed)
 
     def step(self, direct_only: bool = False) -> RenderState:
-        if self.tile_rows:
+        # The XLA backend always goes through the banded program (one band
+        # when untiled): banding is then a pure memory-layout choice and any
+        # tile_rows produces the bitwise-same image — XLA's shape-dependent
+        # fma fusion makes a separate "fused full-frame" program round a few
+        # pixels 1 ulp differently. The pallas untiled path keeps the fused
+        # in-kernel-camera megakernel (`render_pass`) for peak throughput;
+        # its tiled variant is a statistically-identical realization (host
+        # camera math vs in-kernel).
+        if self.tile_rows or self.backend != "pallas":
             return self._step_tiled(direct_only)
         self.state = render_pass(self.scene, self.camera, self.state,
                                  self.cfg, self.width, self.height,
@@ -256,12 +284,18 @@ class Renderer:
                                          self.light_idx)
         else:
             vpls, vlp_index = st.vpls, st.vlp_index
+        rays = frame_rays(self.camera, self.cfg, self.width, self.height,
+                          st.key, st.sample)
+        tile_rows = self.tile_rows or self.height
         bands = []
         y0 = 0
         while y0 < self.height:
-            bh = min(self.tile_rows, self.height - y0)
+            bh = min(tile_rows, self.height - y0)
+            band_rays = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, y0 * self.width, bh * self.width, axis=0), rays)
             bands.append(eye_band_pass(
-                self.scene, self.camera, self.cfg, self.width, self.height,
+                self.scene, band_rays, self.cfg, self.width, self.height,
                 jnp.int32(y0), bh, self.light_idx, st.key, st.sample,
                 vpls, vlp_index, self.backend, direct_only))
             y0 += bh

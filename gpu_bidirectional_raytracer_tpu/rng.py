@@ -61,7 +61,8 @@ def uniforms(key: Array, sample, depth, purpose: int, shape) -> Array:
 
 
 def site_uniforms(key: Array, sample, depth, purpose: int,
-                  k: int, n: int) -> Array:
+                  k: int, n: int, lane_offset=None,
+                  lane_total: int | None = None) -> Array:
     """``[k, n]`` uniforms for one draw site, one column per pixel/lane.
 
     One threefry counter block per site: element ``[j, i]`` is a pure
@@ -71,9 +72,23 @@ def site_uniforms(key: Array, sample, depth, purpose: int,
     draw bitwise-identical tapes (asserted in tests/test_parallel.py). The
     reference instead hashed a shared pool with layout-dependent
     affine-mod indices (``device.cu:273,562,619``).
+
+    ``lane_offset``/``lane_total``: address a WINDOW of a larger tape —
+    returns columns ``[lane_offset, lane_offset + n)`` of the
+    ``[k, lane_total]`` site block. This is what makes tiled/banded and
+    shard-local rendering bitwise-equal to the monolithic render: every
+    consumer draws from the same global counter space regardless of how
+    the pixel axis is split. Threefry generation is elementwise over the
+    flat index, so XLA fuses the slice into generation and only the
+    window's counters are actually evaluated.
     """
-    return jax.random.uniform(stream_key(key, sample, depth, purpose),
-                              (k, n), dtype=jnp.float32)
+    k_site = stream_key(key, sample, depth, purpose)
+    if lane_offset is None:
+        return jax.random.uniform(k_site, (k, n), dtype=jnp.float32)
+    assert lane_total is not None, "lane_offset requires lane_total"
+    full = jax.random.uniform(k_site, (k, lane_total), dtype=jnp.float32)
+    return jax.lax.dynamic_slice(
+        full, (jnp.int32(0), jnp.asarray(lane_offset, jnp.int32)), (k, n))
 
 
 def normals(key: Array, sample, depth, purpose: int, shape) -> Array:

@@ -85,3 +85,64 @@ class TestShardingInvariance:
         assert abs(float(loss1) - float(loss8)) < 1e-6
         np.testing.assert_allclose(np.asarray(g8.p), np.asarray(g1.p),
                                    rtol=1e-4, atol=1e-7)
+
+
+class TestPallasUnderSharding:
+    def test_sharded_pallas_trace_matches_bitwise(self, eight_devices):
+        """The pallas megakernel under shard_map (each shard drawing its
+        lane_offset window of the global tape) is bitwise-equal to the
+        single-device kernel — the pod deployment path is not XLA-only."""
+        from gpu_bidirectional_raytracer_tpu.core.types import Camera
+        from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
+            trace_pallas,
+        )
+        from gpu_bidirectional_raytracer_tpu.render.progressive import (
+            frame_rays,
+        )
+
+        scene = builtin.cornell_box()
+        w, h = 16, 16
+        cfg = IntegratorConfig()
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        sample = jnp.int32(0)
+        rays = frame_rays(cam, cfg, w, h, key, sample)
+        vpls = light_tracer.trace_light_paths(scene, cfg, li, key, sample)
+        vlp_index = jnp.int32(0)
+
+        ref = trace_pallas(scene, cfg, li, rays, key, sample, vpls=vpls,
+                           vlp_index=vlp_index, interpret=True)
+        m = pmesh.make_mesh(eight_devices)
+        out = pmesh.trace_pallas_sharded(scene, cfg, li, rays, key, sample,
+                                         m, vpls=vpls, vlp_index=vlp_index,
+                                         interpret=True)
+        assert out.sharding.is_equivalent_to(NamedSharding(m, P("rays")),
+                                             out.ndim)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_sharded_pallas_rejects_indivisible(self, eight_devices):
+        from gpu_bidirectional_raytracer_tpu.core.types import Camera
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+        from gpu_bidirectional_raytracer_tpu.render.progressive import (
+            frame_rays,
+        )
+
+        scene = builtin.cornell_box()
+        cfg = IntegratorConfig()
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, 15, 15)
+        rays = frame_rays(cam, cfg, 15, 15, jax.random.key(0), jnp.int32(0))
+        m = pmesh.make_mesh(eight_devices)
+        with pytest.raises(ValueError, match="not divisible"):
+            pmesh.trace_pallas_sharded(scene, cfg,
+                                       static_light_indices(scene), rays,
+                                       jax.random.key(0), jnp.int32(0), m,
+                                       interpret=True)

@@ -1,10 +1,23 @@
 #!/usr/bin/env python
 """Benchmark: rays/sec/chip on cornell.scn (BASELINE.md metric).
 
-Times the differentiable forward+backward render step (the framework's
-"training step") and the forward-only progressive pass on the Cornell box.
-Prints ONE JSON line with the headline metric. The reference publishes no
-numbers (BASELINE.md), so ``vs_baseline`` is reported against 1.0.
+Times, on the Cornell box at 512x512:
+- the forward progressive pass (pallas megakernel, sustained);
+- the XLA-tracer forward pass (always reported — the pallas/XLA gap is a
+  tracked number, VERDICT r1 weak#4);
+- the differentiable fwd+bwd "training step" with the BIDIRECTIONAL
+  (VPL) estimator — the framework's headline capability — on both the
+  hand-written pallas adjoint (`ops.pallas_grad`) and the XLA remat path.
+
+The headline metric stays primary-rays/sec fwd+bwd for cross-round
+comparability; `extra` adds the bounce-aware numbers the reference's
+meter never had (``smallpt_cpu.c:282-287`` counts primary samples only):
+traced segments/sec (extension rays + NEE/VPL shadow rays, alive lanes
+only) and a sphere-test FLOP model with a %-of-VPU-peak LOWER bound, so
+"actually fast" is judged against speed-of-light, not just round 0.
+
+Prints ONE JSON line. The reference publishes no numbers (BASELINE.md),
+so ``vs_baseline`` is reported against 1.0.
 """
 
 from __future__ import annotations
@@ -23,6 +36,13 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# v5e VPU model: one (8,128) f32 vreg op/cycle @ 940 MHz, FMA = 2 flops.
+# The utilization figure counts ONLY ray-sphere quadratic flops (~26/test)
+# — shading/NEE arithmetic is real work too, so the reported percentage
+# is a lower bound on actual VPU occupancy.
+_VPU_PEAK_FLOPS = 8 * 128 * 2 * 0.94e9
+_FLOPS_PER_SPHERE_TEST = 26.0
 
 
 def _timeit(fn, *args, warmup=2, iters=5):
@@ -52,10 +72,12 @@ def main() -> None:
 
     from gpu_bidirectional_raytracer_tpu.core.types import Camera, IntegratorConfig
     from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+    from gpu_bidirectional_raytracer_tpu.integrators import path_tracer
     from gpu_bidirectional_raytracer_tpu.integrators.direct import (
         static_light_indices,
     )
     from gpu_bidirectional_raytracer_tpu.render.progressive import (
+        frame_rays,
         init_state,
         render_pass,
     )
@@ -64,19 +86,17 @@ def main() -> None:
     scn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "assets", "scenes", "cornell.scn")
     orig, target, scene = load_scene(scn)
-    cfg = IntegratorConfig()
+    cfg = IntegratorConfig()  # GPU intent: bidirectional, use_vpl=True
     cam = Camera.make(orig, target, width, height)
     light_idx = static_light_indices(scene)
     key = jax.random.key(0)
     n_rays = width * height
+    L = max(len(light_idx), 1)
+    n_vpl_window = cfg.vpl_depth * cfg.max_vlp
 
-    # Forward-only progressive pass (the reference's eye-pass meter,
-    # smallpt_cpu.c:284-287, was width*height / pass-time).
+    # ---- forward progressive pass --------------------------------------
     state = init_state(width, height, cfg)
 
-    # Two compiles total (remote TPU compiles are minutes each): the
-    # pallas-backed pass (auto-falls back to XLA above 64 spheres) and the
-    # training step. Set BENCH_XLA_FWD=1 for the extra XLA-only timing.
     def fwd(state):
         return render_pass(scene, cam, state, cfg, width, height, light_idx)
 
@@ -90,35 +110,71 @@ def main() -> None:
     except Exception:
         t_fwd_pl = None
         t_sustained = _sustained(fwd, state)
-    t_fwd = _timeit(fwd, state) if os.environ.get("BENCH_XLA_FWD") else None
+    t_fwd = _timeit(fwd, state)
 
-    # Forward+backward training step.
-    cfg_d = IntegratorConfig.cpu_golden()
+    # ---- bounce-aware work census (one instrumented XLA trace) ---------
+    rays = frame_rays(cam, cfg, width, height, key, jnp.int32(0))
+    _, stats = jax.jit(
+        lambda: path_tracer.trace(scene, cfg, light_idx, rays, key,
+                                  jnp.int32(0), with_stats=True))()
+    n_ext = int(stats["extension_segments"])
+    n_dv = int(stats["diffuse_vertices"])
+    shadow_rays = n_dv * (L + (n_vpl_window if cfg.use_vpl else 0))
+    segments = n_ext + shadow_rays
+    sphere_tests = segments * scene.num_spheres
+    flops_model = sphere_tests * _FLOPS_PER_SPHERE_TEST
+
+    # ---- fwd+bwd training step: bidirectional (VPL) estimator ----------
     tgt = jnp.zeros((height, width, 3), jnp.float32)
 
-    def fwd_bwd():
-        return G.render_loss_grad(scene, cam, key, tgt, cfg_d,
+    def fwd_bwd_pallas():
+        return G.render_loss_grad(scene, cam, key, tgt, cfg,
+                                  width, height, light_idx, 1,
+                                  backend="pallas")
+
+    def fwd_bwd_xla():
+        return G.render_loss_grad(scene, cam, key, tgt, cfg,
                                   width, height, light_idx, 1)
 
-    t_fb = _timeit(fwd_bwd)
+    try:
+        t_fb = _timeit(fwd_bwd_pallas)
+        bwd_backend = "pallas"
+    except Exception:
+        t_fb = _timeit(fwd_bwd_xla)
+        bwd_backend = "xla"
+    t_fb_xla = (_timeit(fwd_bwd_xla)
+                if os.environ.get("BENCH_SKIP_XLA_BWD") != "1" else None)
 
     dev = jax.devices()[0]
+    t_best_fwd = t_fwd_pl if t_fwd_pl else t_fwd
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_fwd_bwd_cornell",
         "value": round(n_rays / t_fb, 1),
         "unit": "rays/s",
         "vs_baseline": 1.0,
         "extra": {
-            "rays_per_sec_fwd": (
-                round(n_rays / t_fwd, 1) if t_fwd else None),
+            "bwd_backend": bwd_backend,
+            "estimator": "bidirectional_vpl",
+            "rays_per_sec_fwd": round(n_rays / t_fwd, 1),
             "rays_per_sec_fwd_pallas": (
                 round(n_rays / t_fwd_pl, 1) if t_fwd_pl else None),
-            "pass_ms_fwd": round(t_fwd * 1e3, 3) if t_fwd else None,
+            "pass_ms_fwd": round(t_fwd * 1e3, 3),
             "pass_ms_fwd_pallas": (
                 round(t_fwd_pl * 1e3, 3) if t_fwd_pl else None),
             "rays_per_sec_sustained": round(n_rays / t_sustained, 1),
             "pass_ms_sustained": round(t_sustained * 1e3, 3),
             "pass_ms_fwd_bwd": round(t_fb * 1e3, 3),
+            "pass_ms_fwd_bwd_xla": (
+                round(t_fb_xla * 1e3, 3) if t_fb_xla else None),
+            "segments_per_pass": segments,
+            "extension_segments": n_ext,
+            "shadow_rays": shadow_rays,
+            "segments_per_sec_fwd": round(segments / t_best_fwd, 1),
+            "segments_per_sec_fwd_bwd": round(segments / t_fb, 1),
+            "sphere_tests_per_pass": sphere_tests,
+            "model_gflops_per_pass": round(flops_model / 1e9, 3),
+            "vpu_util_lower_bound_pct_fwd": round(
+                100.0 * flops_model / t_best_fwd / _VPU_PEAK_FLOPS, 2),
             "resolution": f"{width}x{height}",
             "device": str(dev.device_kind),
             "platform": dev.platform,

@@ -201,6 +201,14 @@ class IntegratorConfig:
     # Subpixel jitter stratification (0 = reference-faithful independent
     # jitter; k > 0 cycles a k x k stratum grid across samples).
     stratify: int = 0
+    # Emulate the reference's scheduler defect for parity studies: its VPL
+    # gather window slides off the end of ``dev_lp`` into stale memory
+    # instead of wrapping (smallpt_cpu.c:292 + device.cu:510-514). With
+    # this flag the window index grows without modulo and out-of-range
+    # slots are treated as invalid (gather contributes nothing while the
+    # (direct+vpl)/2 halving still applies) — the hypothesis for the ~9%
+    # brightness offset vs assets/images/path.png (BASELINE.md).
+    stale_vpl_window: bool = False
 
     @staticmethod
     def cpu_golden() -> "IntegratorConfig":

@@ -108,11 +108,20 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
     Result is averaged by ``1/(vpl_depth * max_vlp)``.
     """
     d_, v_ = cfg.vpl_depth, cfg.max_vlp
-    lanes = (vlp_index + jnp.arange(v_)) % cfg.light_points        # [V]
+    raw = vlp_index + jnp.arange(v_)                               # [V]
+    if cfg.stale_vpl_window:
+        # Reference-bug emulation: no wraparound; slots past the buffer
+        # end read "stale memory" — modeled as invalid (see types.py).
+        lanes = jnp.minimum(raw, cfg.light_points - 1)
+        in_range = raw < cfg.light_points
+    else:
+        lanes = raw % cfg.light_points
+        in_range = jnp.ones_like(raw, dtype=bool)
     w_hp = vpls.hp[:d_, lanes].reshape(-1, 3)                      # [K, 3]
     w_rad = vpls.rad[:d_, lanes].reshape(-1, 3)
     w_nl = vpls.nl[:d_, lanes].reshape(-1, 3)
-    w_valid = vpls.valid[:d_, lanes].reshape(-1)                   # [K]
+    w_valid = (vpls.valid[:d_, lanes]
+               & in_range[None, :]).reshape(-1)                    # [K]
     k = w_hp.shape[0]
 
     sdir = w_hp[None, :, :] - hp[:, None, :]                       # [N, K, 3]

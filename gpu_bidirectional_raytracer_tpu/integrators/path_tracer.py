@@ -41,7 +41,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
           rays: Rays, key: Array, sample: Array,
           vpls: VplBuffer | None = None, vlp_index: Array | None = None,
           direct_only: bool = False, remat: bool = False,
-          lane_offset=None, lane_total: int | None = None) -> Array:
+          lane_offset=None, lane_total: int | None = None,
+          with_stats: bool = False) -> Array:
     """Trace a batch of eye rays to radiance ``[N, 3]``.
 
     ``key``/``sample`` address the random tape; the same coordinates fed to
@@ -58,6 +59,14 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     larger frame (banded rendering, shard-local tracing), draw tape columns
     ``[lane_offset, lane_offset+N)`` of the global ``lane_total``-wide tape
     so the result is bitwise-equal to tracing the whole frame at once.
+
+    ``with_stats=True`` additionally returns ``(radiance, stats)`` where
+    ``stats = {"extension_segments", "diffuse_vertices"}`` counts the
+    USEFUL traced work (alive lanes only): extension rays per bounce and
+    NEE-shooting diffuse vertices (each costs ``len(light_idx)`` shadow
+    rays plus the VPL window when gathering). This is the bounce-aware
+    meter the reference's pixels/sec counter never had
+    (``smallpt_cpu.c:282-287`` counts primary samples only).
     """
     n = rays.o.shape[0]
     n_lights = max(len(light_idx), 1)
@@ -68,7 +77,11 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
                                  lane_total=lane_total)
 
     def body(depth, state):
-        o, d, rad, throughput, specular, alive = state
+        if with_stats:
+            o, d, rad, throughput, specular, alive, n_ext, n_dv = state
+            n_ext = n_ext + jnp.sum(alive.astype(jnp.int32))
+        else:
+            o, d, rad, throughput, specular, alive = state
 
         hit, t, hit_id = isect.intersect(scene, o, d)
         hit_id = jax.lax.stop_gradient(hit_id)
@@ -103,6 +116,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         ld = nee.sample_lights(scene, cfg, light_idx, hp, nl, light_u,
                                vpls=vpls, vlp_index=vlp_index)
         rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
+        if with_stats:
+            n_dv = n_dv + jnp.sum((alive & is_diff).astype(jnp.int32))
 
         if direct_only:
             # RadianceDirectLighting: a diffuse vertex is terminal
@@ -120,6 +135,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         d = jnp.where(live, sc.new_d, d)
         throughput = jnp.where(live, throughput * sc.tp_mul, throughput)
         specular = jnp.where(alive, sc.specular, specular)
+        if with_stats:
+            return o, d, rad, throughput, specular, alive, n_ext, n_dv
         return o, d, rad, throughput, specular, alive
 
     state = (
@@ -130,6 +147,9 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         jnp.ones((n,), dtype=bool),      # specularBounce = 1 initially
         jnp.ones((n,), dtype=bool),
     )
+    if with_stats:
+        state = state + (jnp.int32(0),   # extension-segment counter
+                         jnp.int32(0))   # diffuse-vertex (NEE) counter
     if remat:
         def scan_body(carry, i):
             return jax.checkpoint(lambda c, j: body(j, c))(carry, i), None
@@ -138,6 +158,9 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
                                 jnp.arange(cfg.max_depth))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth, body, state)
+    if with_stats:
+        return state[2], {"extension_segments": state[6],
+                          "diffuse_vertices": state[7]}
     return state[2]
 
 

@@ -22,6 +22,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the interpret-mode pallas adjoint tests
+# (tests/test_pallas_grad.py) expand the fully-unrolled reverse sweep into
+# XLA graphs whose CPU compiles run ~60-90s each; caching makes repeat
+# suite runs minutes faster. Keyed by backend+jaxlib, safe to share.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -39,6 +39,11 @@ from gpu_bidirectional_raytracer_tpu.core.types import (
 from gpu_bidirectional_raytracer_tpu.integrators import light_tracer, path_tracer
 from gpu_bidirectional_raytracer_tpu.integrators.direct import static_light_indices
 
+# Route scenes with more spheres than this to the XLA tracer: the fused
+# megakernel's unrolled scans win below it, the vectorized all-pairs XLA
+# formulation wins above it (see eye_accumulate_pass routing note).
+_PALLAS_SPHERE_LIMIT = 64
+
 
 def init_state(width: int, height: int, cfg: IntegratorConfig,
                seed: int = 0) -> RenderState:
@@ -95,11 +100,15 @@ def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
     px, py = cam_mod.pixel_grid(width, height)
 
     # -- Eye pass: one jittered sample per pixel (device.cu:560-600).
-    # The pallas megakernel fully unrolls its sphere scans — right for the
-    # typical <=tens-of-spheres scene, wrong for complex.scn-scale (783);
-    # fall back to the XLA tracer there. Its camera variant generates the
-    # primary rays inside the kernel (same jitter tape site).
-    if backend == "pallas" and not direct_only and scene.num_spheres <= 64:
+    # The pallas megakernel unrolls its sphere scans up to
+    # `pallas_trace._UNROLL_CAP` spheres and streams the table through a
+    # fori_loop above that. Measured on v5e (complex.scn 512x384): the
+    # streamed kernel's per-sphere scalar VMEM reads serialize (262ms/pass)
+    # while the XLA all-pairs tracer stays vectorized (67ms/pass), so
+    # production routes big scenes to XLA; the streamed kernel remains for
+    # the no-XLA-fallback capability (tests/test_pallas.py).
+    if (backend == "pallas" and not direct_only
+            and scene.num_spheres <= _PALLAS_SPHERE_LIMIT):
         from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
             trace_pallas_camera,
         )
@@ -189,9 +198,10 @@ def eye_band_pass(scene: Scene, rays, cfg: IntegratorConfig,
     """
     frame_n = width * height
     offset = y0.astype(jnp.int32) * width
-    # Same pallas eligibility rule as render_pass: small scenes, forward
-    # estimator only.
-    if backend == "pallas" and not direct_only and scene.num_spheres <= 64:
+    # Same pallas eligibility rule as render_pass (see the routing note
+    # there): forward estimator, small-enough sphere table.
+    if (backend == "pallas" and not direct_only
+            and scene.num_spheres <= _PALLAS_SPHERE_LIMIT):
         from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import trace_pallas
 
         rad = trace_pallas(scene, cfg, light_idx, rays, key, sample,
@@ -218,9 +228,10 @@ def vpl_update(scene: Scene, state: RenderState, cfg: IntegratorConfig,
     def refresh(_):
         vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
                                               state.key, state.sample)
-        vlp_index = jnp.where(state.sample == 0, jnp.int32(0),
-                              (state.vlp_index + cfg.max_vlp)
-                              % cfg.light_points)
+        nxt = state.vlp_index + cfg.max_vlp
+        if not cfg.stale_vpl_window:
+            nxt = nxt % cfg.light_points   # wrap = the documented intent
+        vlp_index = jnp.where(state.sample == 0, jnp.int32(0), nxt)
         return vpls, vlp_index
 
     return jax.lax.cond(due, refresh,

@@ -201,6 +201,17 @@ class IntegratorConfig:
     # Subpixel jitter stratification (0 = reference-faithful independent
     # jitter; k > 0 cycles a k x k stratum grid across samples).
     stratify: int = 0
+    # Visibility-gradient relaxation width (scene units), 0 = off. When
+    # > 0, NEE/VPL shadow terms add a zero-primal straight-through
+    # visibility carrier: the PRIMAL stays the reference's hard occlusion
+    # test (images unchanged up to XLA re-fusion of shared subexpressions,
+    # <= 1 ulp observed), but the BACKWARD pass sees a sigmoid of
+    # each blocker's discriminant (intersect.soft_visibility), so cast-
+    # shadow motion w.r.t. light/occluder position and radius carries
+    # gradient — the estimator upgrade over the detached-path gradients
+    # documented in diff/gradients.py. ~1-2 scene units works for the
+    # 100-unit Cornell-scale scenes.
+    vis_grad_tau: float = 0.0
     # Emulate the reference's scheduler defect for parity studies: its VPL
     # gather window slides off the end of ``dev_lp`` into stale memory
     # instead of wrapping (smallpt_cpu.c:292 + device.cu:510-514). With

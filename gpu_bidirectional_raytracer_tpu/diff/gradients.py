@@ -27,12 +27,16 @@ Known estimator limits (measured, see tests):
 - Albedo / emission / IOR-free shading parameters: gradients match finite
   differences tightly; recovery converges (test_albedo_recovery_descends).
 - Geometry parameters (position/radius): interior-shading terms are
-  correct (FD-validated), but visibility motion — silhouettes and cast
-  shadows — contributes NO gradient. Optimizing a light or occluder
-  position against an image whose mismatch is shadow-dominated can
-  therefore descend the smooth terms while drifting geometry; it needs an
-  edge-aware estimator (warped-area / reparameterized visibility
-  sampling), which is the planned upgrade of this module.
+  correct (FD-validated). Cast-shadow motion carries gradient when
+  ``cfg.vis_grad_tau > 0``: NEE/VPL shadow terms multiply in a
+  straight-through relaxed-visibility carrier (`intersect.soft_visibility`)
+  whose primal is exactly zero (images unchanged up to XLA re-fusion,
+  <= 1 ulp) and whose backward is a sigmoid of each blocker's
+  discriminant — so an
+  occluder or light position can be fitted against a shadow-dominated
+  target (tests/test_visibility_grad.py). Remaining zero-gradient
+  structure: primary/secondary hit silhouettes (the argmin hit id) and
+  shadow segments whose blocker straddles a segment endpoint.
 """
 
 from __future__ import annotations
@@ -92,7 +96,11 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
 
     px, py = cam_mod.pixel_grid(width, height)
     n = width * height
-    use_pallas = backend == "pallas" and scene.num_spheres <= 64
+    # The hand-written pallas adjoint implements the detached-path
+    # estimator only: fall back to XLA above its 64-sphere unroll cap and
+    # whenever the straight-through visibility gradient is on.
+    use_pallas = (backend == "pallas" and scene.num_spheres <= 64
+                  and cfg.vis_grad_tau == 0.0)
 
     def one_sample(s, acc):
         jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)

@@ -20,6 +20,7 @@ len^2`` — the reference's area-formulation without solid-angle conversion
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -81,20 +82,30 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     wo = -wo
     wi = jnp.sum(sdir * nl[:, None, :], axis=-1)            # [N, L]
 
-    nl_rays = sdir.reshape(-1, 3)
+    flat_o = jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3)
+    flat_d = sdir.reshape(-1, 3)
+    flat_maxt = (length - EPSILON).reshape(-1)
     occluded = isect.intersect_p(
-        scene,
-        jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3),
-        nl_rays,
-        (length - EPSILON).reshape(-1),
-    ).reshape(length.shape)                                  # [N, L]
+        scene, flat_o, flat_d, flat_maxt).reshape(length.shape)    # [N, L]
 
-    contrib_mask = facing & (wi > 0.0) & jnp.logical_not(occluded)
     scale = (4.0 * jnp.pi * lrad * lrad)[None, :] * wi * wo / jnp.maximum(
         length * length, _TINY)
     contrib = le[None, :, :] * (cfg.light_gain * scale)[..., None]
-    contrib = jnp.where(contrib_mask[..., None], contrib, 0.0)
-    return jnp.sum(contrib, axis=1)
+    contrib_mask = facing & (wi > 0.0) & jnp.logical_not(occluded)
+    out = jnp.where(contrib_mask[..., None], contrib, 0.0)
+    if cfg.vis_grad_tau > 0.0:
+        # Straight-through visibility gradient: add a ZERO-primal carrier
+        # (x - stop_grad(x) is exactly 0.0) whose linearization is
+        # stop_grad(contrib) * d(soft visibility) — the hard expression
+        # above is untouched, so images are unchanged.
+        soft = isect.soft_visibility(
+            scene, flat_o, flat_d, flat_maxt,
+            cfg.vis_grad_tau).reshape(length.shape)
+        carrier = jax.lax.stop_gradient(
+            jnp.where((facing & (wi > 0.0))[..., None], contrib, 0.0)
+        ) * soft[..., None]
+        out = out + (carrier - jax.lax.stop_gradient(carrier))
+    return jnp.sum(out, axis=1)
 
 
 def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
@@ -135,17 +146,26 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
     wo = -wo
     wi = jnp.sum(sdir * nl[:, None, :], axis=-1)
 
+    flat_o = jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3)
+    flat_d = sdir.reshape(-1, 3)
+    flat_maxt = (length - EPSILON).reshape(-1)
     occluded = isect.intersect_p_vacuum(
-        scene,
-        jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3),
-        sdir.reshape(-1, 3),
-        (length - EPSILON).reshape(-1),
-    ).reshape(length.shape)
+        scene, flat_o, flat_d, flat_maxt).reshape(length.shape)
 
-    mask = facing & (wi > 0.0) & jnp.logical_not(occluded) & w_valid[None, :]
     contrib = w_rad[None, :, :] * (wi * wo)[..., None]
-    contrib = jnp.where(mask[..., None], contrib, 0.0)
-    return jnp.sum(contrib, axis=1) / jnp.float32(k)
+    mask = facing & (wi > 0.0) & jnp.logical_not(occluded) & w_valid[None, :]
+    out = jnp.where(mask[..., None], contrib, 0.0)
+    if cfg.vis_grad_tau > 0.0:
+        # Straight-through virtual-shadow-ray visibility: zero-primal
+        # carrier, same construction as sample_direct.
+        soft = isect.soft_visibility(
+            scene, flat_o, flat_d, flat_maxt, cfg.vis_grad_tau,
+            vacuum=True).reshape(length.shape)
+        carrier = jax.lax.stop_gradient(
+            jnp.where((facing & (wi > 0.0) & w_valid[None, :])[..., None],
+                      contrib, 0.0)) * soft[..., None]
+        out = out + (carrier - jax.lax.stop_gradient(carrier))
+    return jnp.sum(out, axis=1) / jnp.float32(k)
 
 
 def sample_lights(scene: Scene, cfg: IntegratorConfig,

@@ -124,3 +124,43 @@ def intersect_p_vacuum(scene: Scene, o: Array, d: Array, maxt: Array) -> Array:
     ts = sphere_distances(scene, o, d)
     blocker = jnp.logical_not(scene.is_light())[None, :]
     return jnp.any((ts > 0.0) & (ts < maxt[:, None]) & blocker, axis=-1)
+
+
+def soft_visibility(scene: Scene, o: Array, d: Array, maxt: Array,
+                    tau: float, vacuum: bool = False) -> Array:
+    """Relaxed visibility of the shadow segments ``(o, d, maxt)`` — the
+    backward half of the straight-through visibility-gradient estimator
+    (``IntegratorConfig.vis_grad_tau``; callers combine it as
+    ``hard + soft - stop_gradient(soft)``, so this VALUE never reaches the
+    image, only its linearization does).
+
+    Per blocker sphere the binary test is relaxed ONLY along the
+    silhouette direction: ``sigma(det / (tau * r_s))`` — ``det`` is the
+    ray-sphere discriminant (``geomfunc.h:31-58``), a polynomial in ray and
+    sphere parameters (no sqrt, so no guard needed), and the ``tau * r_s``
+    normalization makes the smoothing width ~``tau/2`` scene units for
+    every sphere size (``d det / d perp-distance = -2 r`` at the edge).
+    The in-segment condition is kept HARD and stop-gradiented via the
+    mid-chord test ``b in (EPSILON, maxt)``: it coincides with the
+    reference's chord-overlap test at silhouettes (where ``t1 = t2 = b``)
+    and rejects the self-intersection case (a vertex's own sphere has
+    ``b <= 0`` for outgoing rays), at the cost of no gradient for blockers
+    straddling a segment endpoint. ``vacuum=True`` mirrors
+    `intersect_p_vacuum`: emissive spheres never block.
+
+    Returns ``prod_s (1 - blocked_s)`` in ``[0, 1]``, shape ``[N]``.
+    """
+    p, rad = scene.p, scene.rad
+    op = p[None, :, :] - o[:, None, :]                              # [N, S, 3]
+    b = jnp.sum(op * d[:, None, :], axis=-1)                        # [N, S]
+    opop = jnp.sum(op * op, axis=-1)
+    det = b * b - opop + (rad * rad)[None, :]
+    width = jax.lax.stop_gradient(jnp.maximum(tau * rad, 1e-6))[None, :]
+    edge = jax.nn.sigmoid(det / width)
+    gate = jax.lax.stop_gradient(
+        (b > EPSILON) & (b < maxt[:, None])).astype(o.dtype)
+    blocked = edge * gate
+    if vacuum:
+        blocked = blocked * jnp.logical_not(
+            scene.is_light())[None, :].astype(o.dtype)
+    return jnp.prod(1.0 - blocked, axis=-1)

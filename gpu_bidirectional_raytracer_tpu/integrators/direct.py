@@ -47,13 +47,21 @@ def static_light_indices(scene: Scene) -> tuple[int, ...]:
 
 def sample_direct(scene: Scene, cfg: IntegratorConfig,
                   light_idx: tuple[int, ...],
-                  hp: Array, nl: Array, light_u: Array) -> Array:
+                  hp: Array, nl: Array, light_u: Array,
+                  scan_backend: str = "xla",
+                  active: Array | None = None) -> Array:
     """Direct lighting at ``hp [N,3]`` with shading normal ``nl [N,3]``.
 
     ``light_u``: uniforms ``[L, 2, N]`` addressed by light SLOT — the
     position of the emissive sphere in ``light_idx`` scan order. The golden
     model indexes the identical tape by the same slot convention.
     Returns radiance ``[N, 3]`` (before throughput multiply).
+
+    ``scan_backend='pallas'`` + ``active`` (the caller's ``alive &
+    is_diff`` lanes): the shadow any-hit runs tile-guarded pallas scans
+    (`ops.pallas_scan`) — inactive lanes may report unoccluded light, but
+    the caller masks their contribution exactly as it does on the XLA
+    path. Forward rendering only.
     """
     n = hp.shape[0]
     if not light_idx:
@@ -85,8 +93,17 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     flat_o = jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3)
     flat_d = sdir.reshape(-1, 3)
     flat_maxt = (length - EPSILON).reshape(-1)
-    occluded = isect.intersect_p(
-        scene, flat_o, flat_d, flat_maxt).reshape(length.shape)    # [N, L]
+    if scan_backend == "pallas":
+        from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
+
+        act = active if active is not None else jnp.ones((n,), bool)
+        act_flat = jnp.broadcast_to(act[:, None], length.shape).reshape(-1)
+        occluded = pallas_scan.anyhit_tiles(
+            scene, flat_o, flat_d, flat_maxt,
+            act_flat).reshape(length.shape)                        # [N, L]
+    else:
+        occluded = isect.intersect_p(
+            scene, flat_o, flat_d, flat_maxt).reshape(length.shape)
 
     scale = (4.0 * jnp.pi * lrad * lrad)[None, :] * wi * wo / jnp.maximum(
         length * length, _TINY)
@@ -109,7 +126,9 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
 
 
 def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
-                vlp_index: Array, hp: Array, nl: Array) -> Array:
+                vlp_index: Array, hp: Array, nl: Array,
+                scan_backend: str = "xla",
+                active: Array | None = None) -> Array:
     """VPL gather at ``hp`` (``device.cu:507-539``), returns ``[N, 3]``.
 
     Window: depths ``0..vpl_depth`` x lanes ``vlp_index..vlp_index+max_vlp``
@@ -149,8 +168,18 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
     flat_o = jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3)
     flat_d = sdir.reshape(-1, 3)
     flat_maxt = (length - EPSILON).reshape(-1)
-    occluded = isect.intersect_p_vacuum(
-        scene, flat_o, flat_d, flat_maxt).reshape(length.shape)
+    if scan_backend == "pallas":
+        from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
+
+        act = (active if active is not None
+               else jnp.ones((hp.shape[0],), bool))
+        act_flat = jnp.broadcast_to(act[:, None], length.shape).reshape(-1)
+        occluded = pallas_scan.anyhit_tiles(
+            scene, flat_o, flat_d, flat_maxt, act_flat,
+            vacuum=True).reshape(length.shape)
+    else:
+        occluded = isect.intersect_p_vacuum(
+            scene, flat_o, flat_d, flat_maxt).reshape(length.shape)
 
     contrib = w_rad[None, :, :] * (wi * wo)[..., None]
     mask = facing & (wi > 0.0) & jnp.logical_not(occluded) & w_valid[None, :]
@@ -172,12 +201,16 @@ def sample_lights(scene: Scene, cfg: IntegratorConfig,
                   light_idx: tuple[int, ...],
                   hp: Array, nl: Array, light_u: Array,
                   vpls: VplBuffer | None = None,
-                  vlp_index: Array | None = None) -> Array:
+                  vlp_index: Array | None = None,
+                  scan_backend: str = "xla",
+                  active: Array | None = None) -> Array:
     """Full NEE: direct + (optionally) VPL gather with the reference's
     ``(direct + vpl_avg) / 2`` combine (``device.cu:538-540``)."""
-    direct = sample_direct(scene, cfg, light_idx, hp, nl, light_u)
+    direct = sample_direct(scene, cfg, light_idx, hp, nl, light_u,
+                           scan_backend, active)
     if not cfg.use_vpl or vpls is None:
         return direct
-    vpl = gather_vpls(scene, cfg, vpls, vlp_index, hp, nl)
+    vpl = gather_vpls(scene, cfg, vpls, vlp_index, hp, nl,
+                      scan_backend, active)
     total = direct + vpl
     return total * 0.5 if cfg.combine_half else total

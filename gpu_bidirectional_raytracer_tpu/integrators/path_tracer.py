@@ -42,7 +42,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
           vpls: VplBuffer | None = None, vlp_index: Array | None = None,
           direct_only: bool = False, remat: bool = False,
           lane_offset=None, lane_total: int | None = None,
-          with_stats: bool = False) -> Array:
+          with_stats: bool = False, scan_backend: str = "xla",
+          scan_compact: bool = False) -> Array:
     """Trace a batch of eye rays to radiance ``[N, 3]``.
 
     ``key``/``sample`` address the random tape; the same coordinates fed to
@@ -60,6 +61,20 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     ``[lane_offset, lane_offset+N)`` of the global ``lane_total``-wide tape
     so the result is bitwise-equal to tracing the whole frame at once.
 
+    ``scan_backend='pallas'`` routes the three per-bounce sphere scans
+    (nearest-hit, NEE shadow, VPL shadow) through `ops.pallas_scan`'s
+    tile-guarded unrolled kernels — the many-sphere fast path. Measured on
+    complex.scn 512x384 v5e (ms/sample): 28.2 vs 55.0 XLA (no-VPL, 1.95x)
+    and 38.0 vs 67.0 (bidirectional default, 1.76x). Forward rendering
+    only (no VJP through pallas_call); same estimator and tape.
+    ``scan_compact=True`` additionally partitions live lanes to the front
+    each bounce so dead tiles skip wholesale — per-pixel values are
+    exactly permutation-invariant (bitwise-asserted) — but on v5e the
+    permutation plumbing costs more than the skipped scans (sort ~0.5ms +
+    an unavoidable ~2.5ms/depth tape gather: 40.0/47.3 ms/sample), so it
+    defaults OFF; kept for parts where liveness collapses faster than the
+    gather cost.
+
     ``with_stats=True`` additionally returns ``(radiance, stats)`` where
     ``stats = {"extension_segments", "diffuse_vertices"}`` counts the
     USEFUL traced work (alive lanes only): extension rays per bounce and
@@ -70,27 +85,73 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     """
     n = rays.o.shape[0]
     n_lights = max(len(light_idx), 1)
+    # Lane compaction (see docstring): live lanes partitioned to the
+    # front each bounce; the tape follows the pixel id (one row gather
+    # per depth); radiance is restored to pixel order at the end.
+    compact = scan_backend == "pallas" and scan_compact
 
     def draws(depth, purpose, k):
         return rng.site_uniforms(key, sample, depth, purpose, k, n,
                                  lane_offset=lane_offset,
                                  lane_total=lane_total)
 
+    def _partition_live(o, d, rad, throughput, specular, alive, pix_id):
+        # Unique composite key = stable partition; bitwise-deterministic
+        # under any sharding. Kept to 16 operands: wider multi-operand
+        # sorts (e.g. carrying the whole tape) explode XLA's sorting-
+        # network compile on the remote toolchain.
+        lane = jnp.arange(n, dtype=jnp.int32)
+        keyv = jnp.where(alive, jnp.int32(0), jnp.int32(1)) * jnp.int32(n) + lane
+        out = jax.lax.sort(
+            (keyv,
+             o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             rad[:, 0], rad[:, 1], rad[:, 2],
+             throughput[:, 0], throughput[:, 1], throughput[:, 2],
+             specular.astype(jnp.int32), alive.astype(jnp.int32), pix_id),
+            num_keys=1)
+        o = jnp.stack(out[1:4], axis=-1)
+        d = jnp.stack(out[4:7], axis=-1)
+        rad = jnp.stack(out[7:10], axis=-1)
+        throughput = jnp.stack(out[10:13], axis=-1)
+        return (o, d, rad, throughput, out[13].astype(bool),
+                out[14].astype(bool), out[15])
+
     def body(depth, state):
         if with_stats:
-            o, d, rad, throughput, specular, alive, n_ext, n_dv = state
+            o, d, rad, throughput, specular, alive, *rest, n_ext, n_dv = state
             n_ext = n_ext + jnp.sum(alive.astype(jnp.int32))
         else:
-            o, d, rad, throughput, specular, alive = state
+            o, d, rad, throughput, specular, alive, *rest = state
+        depth_tape = None
+        if compact:
+            (o, d, rad, throughput, specular, alive,
+             pix_id) = _partition_live(o, d, rad, throughput, specular,
+                                       alive, rest[0])
+            # This depth's draw sites, pixel order, then ONE [n, R] row
+            # gather onto the permuted lanes (a per-site minor-dim gather
+            # measures ~2ms on v5e; this form ~0.5ms per depth).
+            rows = jnp.concatenate(
+                [draws(depth, rng.LIGHT_UV, 2 * n_lights),
+                 draws(depth, rng.DIFF_UV, 2),
+                 draws(depth, rng.REFR_RR, 1)], axis=0)   # [R, n]
+            depth_tape = rows.T[pix_id].T                 # [R, n], lane order
 
-        hit, t, hit_id = isect.intersect(scene, o, d)
+        if scan_backend == "pallas":
+            from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
+
+            (hit, t, hit_id, obj_p, obj_e, obj_c,
+             obj_refl) = pallas_scan.nearest_tiles(scene, o, d, alive)
+        else:
+            hit, t, hit_id = isect.intersect(scene, o, d)
         hit_id = jax.lax.stop_gradient(hit_id)
         alive = alive & hit
         # Missed lanes carry t = 1e20; clamp so downstream dead-lane math
         # stays finite (results are masked out, but inf*0 breeds NaNs).
         t = jnp.where(hit, t, 1.0)
 
-        obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(scene, hit_id)
+        if scan_backend != "pallas":
+            obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(
+                scene, hit_id)
 
         # Reparameterized hit point: t is differentiable through the root
         # formula; the discrete hit id is stopped above.
@@ -111,10 +172,15 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         # NEE at diffuse vertices (geomfunc.h:535-544).
         is_diff = obj_refl == DIFF
         tp_after_diff = throughput * obj_c
-        light_u = draws(depth, rng.LIGHT_UV,
-                        2 * n_lights).reshape(n_lights, 2, n)
+        if compact:
+            light_u = depth_tape[:2 * n_lights].reshape(n_lights, 2, n)
+        else:
+            light_u = draws(depth, rng.LIGHT_UV,
+                            2 * n_lights).reshape(n_lights, 2, n)
         ld = nee.sample_lights(scene, cfg, light_idx, hp, nl, light_u,
-                               vpls=vpls, vlp_index=vlp_index)
+                               vpls=vpls, vlp_index=vlp_index,
+                               scan_backend=scan_backend,
+                               active=alive & is_diff)
         rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
         if with_stats:
             n_dv = n_dv + jnp.sum((alive & is_diff).astype(jnp.int32))
@@ -125,8 +191,12 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             alive = alive & jnp.logical_not(is_diff)
 
         # Scatter (masked lanes compute everything; select at the end).
-        diff_u = draws(depth, rng.DIFF_UV, 2)
-        rr_u = draws(depth, rng.REFR_RR, 1)[0]
+        if compact:
+            diff_u = depth_tape[2 * n_lights:2 * n_lights + 2]
+            rr_u = depth_tape[2 * n_lights + 2]
+        else:
+            diff_u = draws(depth, rng.DIFF_UV, 2)
+            rr_u = draws(depth, rng.REFR_RR, 1)[0]
         sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl,
                           diff_u[0], diff_u[1], rr_u)
 
@@ -135,9 +205,12 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         d = jnp.where(live, sc.new_d, d)
         throughput = jnp.where(live, throughput * sc.tp_mul, throughput)
         specular = jnp.where(alive, sc.specular, specular)
+        out = (o, d, rad, throughput, specular, alive)
+        if compact:
+            out = out + (pix_id,)
         if with_stats:
-            return o, d, rad, throughput, specular, alive, n_ext, n_dv
-        return o, d, rad, throughput, specular, alive
+            out = out + (n_ext, n_dv)
+        return out
 
     state = (
         rays.o,
@@ -147,6 +220,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         jnp.ones((n,), dtype=bool),      # specularBounce = 1 initially
         jnp.ones((n,), dtype=bool),
     )
+    if compact:
+        state = state + (jnp.arange(n, dtype=jnp.int32),)  # lane -> pixel
     if with_stats:
         state = state + (jnp.int32(0),   # extension-segment counter
                          jnp.int32(0))   # diffuse-vertex (NEE) counter
@@ -158,10 +233,16 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
                                 jnp.arange(cfg.max_depth))
     else:
         state = jax.lax.fori_loop(0, cfg.max_depth, body, state)
+    rad = state[2]
+    if compact:
+        # Restore pixel order (pix_id is a permutation: unique keys).
+        _, r0, r1, r2 = jax.lax.sort(
+            (state[6], rad[:, 0], rad[:, 1], rad[:, 2]), num_keys=1)
+        rad = jnp.stack([r0, r1, r2], axis=-1)
     if with_stats:
-        return state[2], {"extension_segments": state[6],
-                          "diffuse_vertices": state[7]}
-    return state[2]
+        return rad, {"extension_segments": state[-2],
+                     "diffuse_vertices": state[-1]}
+    return rad
 
 
 trace_direct = partial(trace, direct_only=True)

@@ -100,15 +100,16 @@ def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
     px, py = cam_mod.pixel_grid(width, height)
 
     # -- Eye pass: one jittered sample per pixel (device.cu:560-600).
-    # The pallas megakernel unrolls its sphere scans up to
-    # `pallas_trace._UNROLL_CAP` spheres and streams the table through a
-    # fori_loop above that. Measured on v5e (complex.scn 512x384): the
-    # streamed kernel's per-sphere scalar VMEM reads serialize (262ms/pass)
-    # while the XLA all-pairs tracer stays vectorized (67ms/pass), so
-    # production routes big scenes to XLA; the streamed kernel remains for
-    # the no-XLA-fallback capability (tests/test_pallas.py).
-    if (backend == "pallas" and not direct_only
-            and scene.num_spheres <= _PALLAS_SPHERE_LIMIT):
+    # Two pallas designs by scene size (measured on v5e, complex.scn
+    # 512x384): up to `_PALLAS_SPHERE_LIMIT` spheres the fused megakernel
+    # (all bounces in one kernel, in-kernel camera) wins; above it the XLA
+    # tracer orchestrates bounces with tile-guarded unrolled scan kernels
+    # (`ops.pallas_scan`) — the all-pairs XLA scans take 67ms/pass there,
+    # the guarded kernels ~6x less. A fori_loop-streamed megakernel was
+    # measured too (262ms/pass — per-sphere scalar reads serialize); it
+    # remains only as the no-XLA-fallback capability (tests/test_pallas.py).
+    if backend == "pallas" and not direct_only and (
+            scene.num_spheres <= _PALLAS_SPHERE_LIMIT):
         from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
             trace_pallas_camera,
         )
@@ -131,6 +132,7 @@ def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
             vpls=vpls if cfg.use_vpl else None,
             vlp_index=vlp_index,
             direct_only=direct_only,
+            scan_backend=("pallas" if backend == "pallas" else "xla"),
         ).reshape(height, width, 3)
 
     # -- Progressive mean with the per-pixel sample cap
@@ -214,7 +216,9 @@ def eye_band_pass(scene: Scene, rays, cfg: IntegratorConfig,
                                 vpls=vpls if cfg.use_vpl else None,
                                 vlp_index=vlp_index,
                                 direct_only=direct_only,
-                                lane_offset=offset, lane_total=frame_n)
+                                lane_offset=offset, lane_total=frame_n,
+                                scan_backend=("pallas" if backend == "pallas"
+                                              else "xla"))
     return rad.reshape(band_h, width, 3)
 
 

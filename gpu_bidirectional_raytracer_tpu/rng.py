@@ -62,7 +62,8 @@ def uniforms(key: Array, sample, depth, purpose: int, shape) -> Array:
 
 def site_uniforms(key: Array, sample, depth, purpose: int,
                   k: int, n: int, lane_offset=None,
-                  lane_total: int | None = None) -> Array:
+                  lane_total: int | None = None,
+                  lane_ids: Array | None = None) -> Array:
     """``[k, n]`` uniforms for one draw site, one column per pixel/lane.
 
     One threefry counter block per site: element ``[j, i]`` is a pure
@@ -81,8 +82,19 @@ def site_uniforms(key: Array, sample, depth, purpose: int,
     the pixel axis is split. Threefry generation is elementwise over the
     flat index, so XLA fuses the slice into generation and only the
     window's counters are actually evaluated.
+
+    ``lane_ids``: an arbitrary per-lane GATHER of the global tape —
+    returns column ``lane_ids[i]`` of the ``[k, lane_total]`` site block
+    at position ``i``. This is how the lane-compacting tracer
+    (path_tracer with scan_backend='pallas') keeps its permuted lanes on
+    their pixels' tape: values depend only on the id, never on the lane
+    position, so any permutation replays the identical tape.
     """
     k_site = stream_key(key, sample, depth, purpose)
+    if lane_ids is not None:
+        assert lane_total is not None, "lane_ids requires lane_total"
+        full = jax.random.uniform(k_site, (k, lane_total), dtype=jnp.float32)
+        return full[:, lane_ids]
     if lane_offset is None:
         return jax.random.uniform(k_site, (k, n), dtype=jnp.float32)
     assert lane_total is not None, "lane_offset requires lane_total"

@@ -89,7 +89,8 @@ def _sphere_t(px, py, pz, rad, ox, oy, oz, dx, dy, dz):
     return jnp.where(hit, t, 0.0)
 
 
-def _nearest_hit(scene_ref, n_spheres: int, ox, oy, oz, dx, dy, dz):
+def _nearest_hit(scene_ref, n_spheres: int, ox, oy, oz, dx, dy, dz,
+                 force_unroll: bool = False):
     """Nearest-hit scan + hit-attribute gather (device.cu:106-124).
 
     Returns ``(best_t, best_id, attrs)`` where ``attrs`` is the 10-tuple
@@ -106,7 +107,7 @@ def _nearest_hit(scene_ref, n_spheres: int, ox, oy, oz, dx, dy, dz):
     def sph(s, k):
         return scene_ref[s, k]
 
-    if n_spheres <= _UNROLL_CAP:
+    if n_spheres <= _UNROLL_CAP or force_unroll:
         best_t = jnp.full(shape, _BIG, f32)
         best_id = jnp.zeros(shape, jnp.int32)
         for s in range(n_spheres):
@@ -142,7 +143,7 @@ def _nearest_hit(scene_ref, n_spheres: int, ox, oy, oz, dx, dy, dz):
 
 
 def _occluded(scene_ref, n_spheres: int, hx, hy, hz, sdx, sdy, sdz, maxt,
-              vacuum: bool):
+              vacuum: bool, force_unroll: bool = False):
     """Any-hit shadow scan: is the segment ``t in (0, maxt)`` blocked?
 
     ``vacuum=True`` is the VPL variant: emissive spheres do not block
@@ -165,7 +166,7 @@ def _occluded(scene_ref, n_spheres: int, hx, hy, hz, sdx, sdy, sdz, maxt,
             b = b & nonlite
         return b
 
-    if n_spheres <= _UNROLL_CAP:
+    if n_spheres <= _UNROLL_CAP or force_unroll:
         occ = jnp.zeros(shape, bool)
         for s in range(n_spheres):
             occ = occ | blocked_by(s)
@@ -220,6 +221,204 @@ def _camera_rays_in_kernel(cam_ref, tape_ref, tile_rows: int,
     return ox, oy, oz, dx, dy, dz
 
 
+def _bounce_step(scene_ref, vpl_ref, trow, state, *,
+                 cfg: IntegratorConfig, light_idx: tuple[int, ...],
+                 n_spheres: int, n_vpl: int, use_vpl: bool,
+                 direct_only: bool = False, force_unroll: bool = False):
+    """One bounce of the megakernel body on [R,128] state planes.
+
+    ``trow(i)`` reads the i-th tape row of THIS depth. Shared verbatim by
+    the fused megakernel (`_kernel`, all depths unrolled in one kernel)
+    and the per-depth bounce kernel (`ops.pallas_bounce`, one pallas call
+    per depth — the many-sphere configuration where a fully unrolled
+    megakernel cannot compile). ``force_unroll`` keeps the sphere scans
+    unrolled past _UNROLL_CAP (right when only one depth is in the
+    kernel). Semantics: device.cu:544-791 (see module docstring).
+    """
+    f32 = jnp.float32
+    L = max(len(light_idx), 1)
+    (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+     tp_r, tp_g, tp_b, specular, alive) = state
+    shape = ox.shape
+
+    def sph(s, k):
+        return scene_ref[s, k]
+
+    # ---- nearest-hit scan + attribute gather (unrolled or streamed)
+    best_t, best_id, (opx, opy, opz, oex, oey, oez,
+                      ocx, ocy, ocz, orefl) = _nearest_hit(
+        scene_ref, n_spheres, ox, oy, oz, dx, dy, dz,
+        force_unroll=force_unroll)
+    hit = best_t < _BIG
+    alive = alive & hit
+    t = jnp.where(hit, best_t, 1.0)
+
+    hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+    nx, ny, nz = _normalize(hx - opx, hy - opy, hz - opz)
+    dp = _dot3(nx, ny, nz, dx, dy, dz)
+    flip = jnp.where(dp > 0.0, f32(-1.0), f32(1.0))
+    nlx, nly, nlz = flip * nx, flip * ny, flip * nz
+
+    # ---- emitter termination (specular chains add emission)
+    is_emit = (oex != 0.0) | (oey != 0.0) | (oez != 0.0)
+    gain = f32(cfg.emission_scale) * jnp.abs(dp)
+    add = alive & is_emit & specular
+    rad_r = rad_r + jnp.where(add, gain * oex * tp_r, 0.0)
+    rad_g = rad_g + jnp.where(add, gain * oey * tp_g, 0.0)
+    rad_b = rad_b + jnp.where(add, gain * oez * tp_b, 0.0)
+    alive = alive & jnp.logical_not(is_emit)
+
+    # ---- NEE at diffuse vertices (device.cu:457-542)
+    is_diff = orefl == f32(DIFF)
+    td_r, td_g, td_b = tp_r * ocx, tp_g * ocy, tp_b * ocz
+    ld_r = jnp.zeros(shape, f32)
+    ld_g = jnp.zeros(shape, f32)
+    ld_b = jnp.zeros(shape, f32)
+    for li, lig in enumerate(light_idx):
+        u1 = trow(li)
+        u2 = trow(L + li)
+        lrad, lpx, lpy, lpz = (sph(lig, 0), sph(lig, 1), sph(lig, 2),
+                               sph(lig, 3))
+        zz = 1.0 - 2.0 * u1
+        rr_ = _safe_sqrt(1.0 - zz * zz)
+        phi = 2.0 * jnp.pi * u2
+        ux, uy, uz = rr_ * jnp.cos(phi), rr_ * jnp.sin(phi), zz
+        spx, spy, spz = lpx + lrad * ux, lpy + lrad * uy, lpz + lrad * uz
+        sdx, sdy, sdz = spx - hx, spy - hy, spz - hz
+        slen = jnp.sqrt(_dot3(sdx, sdy, sdz, sdx, sdy, sdz) + 1e-30)
+        inv = 1.0 / slen
+        sdx, sdy, sdz = sdx * inv, sdy * inv, sdz * inv
+        wo = _dot3(sdx, sdy, sdz, ux, uy, uz)
+        facing = wo <= 0.0
+        wo = -wo
+        wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
+        occ = _occluded(scene_ref, n_spheres, hx, hy, hz,
+                        sdx, sdy, sdz, slen - EPSILON, vacuum=False,
+                        force_unroll=force_unroll)
+        ok = facing & (wi > 0.0) & jnp.logical_not(occ)
+        scale = (4.0 * jnp.pi * lrad * lrad) * wi * wo / (slen * slen)
+        scale = jnp.where(ok, f32(cfg.light_gain) * scale, 0.0)
+        ld_r = ld_r + sph(lig, 4) * scale
+        ld_g = ld_g + sph(lig, 5) * scale
+        ld_b = ld_b + sph(lig, 6) * scale
+
+    # ---- VPL gather (device.cu:507-540): tiny unrolled window
+    if use_vpl and n_vpl > 0:
+        v_r = jnp.zeros(shape, f32)
+        v_g = jnp.zeros(shape, f32)
+        v_b = jnp.zeros(shape, f32)
+        for v in range(n_vpl):
+            vhx, vhy, vhz = vpl_ref[v, 0], vpl_ref[v, 1], vpl_ref[v, 2]
+            vrx, vry, vrz = vpl_ref[v, 3], vpl_ref[v, 4], vpl_ref[v, 5]
+            vnx, vny, vnz = vpl_ref[v, 6], vpl_ref[v, 7], vpl_ref[v, 8]
+            vvalid = vpl_ref[v, 9] > 0.5
+            sdx, sdy, sdz = vhx - hx, vhy - hy, vhz - hz
+            slen = jnp.sqrt(_dot3(sdx, sdy, sdz, sdx, sdy, sdz) + 1e-30)
+            inv = 1.0 / slen
+            sdx, sdy, sdz = sdx * inv, sdy * inv, sdz * inv
+            wo = _dot3(sdx, sdy, sdz, vnx, vny, vnz)
+            facing = wo <= 0.0
+            wo = -wo
+            wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
+            # vacuum test: only non-emissive spheres block
+            occ = _occluded(scene_ref, n_spheres, hx, hy, hz,
+                            sdx, sdy, sdz, slen - EPSILON, vacuum=True,
+                            force_unroll=force_unroll)
+            ok = facing & (wi > 0.0) & jnp.logical_not(occ) & vvalid
+            w = jnp.where(ok, wi * wo, 0.0)
+            v_r = v_r + vrx * w
+            v_g = v_g + vry * w
+            v_b = v_b + vrz * w
+        inv_k = f32(1.0 / n_vpl)
+        ld_r = ld_r + v_r * inv_k
+        ld_g = ld_g + v_g * inv_k
+        ld_b = ld_b + v_b * inv_k
+        if cfg.combine_half:
+            ld_r, ld_g, ld_b = ld_r * 0.5, ld_g * 0.5, ld_b * 0.5
+
+    use = alive & is_diff
+    rad_r = rad_r + jnp.where(use, td_r * ld_r, 0.0)
+    rad_g = rad_g + jnp.where(use, td_g * ld_g, 0.0)
+    rad_b = rad_b + jnp.where(use, td_b * ld_b, 0.0)
+
+    if direct_only:
+        # RadianceDirectLighting: diffuse vertices are terminal
+        # (geomfunc.h:708-720); specular chains continue.
+        alive = alive & jnp.logical_not(is_diff)
+
+    # ---- scatter (bsdf.scatter semantics)
+    du1 = trow(2 * L)
+    du2 = trow(2 * L + 1)
+    urr = trow(2 * L + 2)
+
+    # DIFF: cosine hemisphere about nl with the |w.x|>0.1 ONB trick
+    big_x = jnp.abs(nlx) > 0.1
+    axx = jnp.where(big_x, f32(0.0), f32(1.0))
+    axy = jnp.where(big_x, f32(1.0), f32(0.0))
+    # a x w  (az = 0)
+    ux_, uy_, uz_ = (axy * nlz, -axx * nlz, axx * nly - axy * nlx)
+    ux_, uy_, uz_ = _normalize(ux_, uy_, uz_)
+    vx_ = nly * uz_ - nlz * uy_
+    vy_ = nlz * ux_ - nlx * uz_
+    vz_ = nlx * uy_ - nly * ux_
+    r1 = 2.0 * jnp.pi * du1
+    r2s = jnp.sqrt(du2)
+    cwr = jnp.cos(r1) * r2s
+    swr = jnp.sin(r1) * r2s
+    wz = _safe_sqrt(1.0 - du2)
+    ddx = ux_ * cwr + vx_ * swr + nlx * wz
+    ddy = uy_ * cwr + vy_ * swr + nly * wz
+    ddz = uz_ * cwr + vz_ * swr + nlz * wz
+
+    # SPEC: mirror about geometric normal
+    k2 = 2.0 * _dot3(nx, ny, nz, dx, dy, dz)
+    sx, sy, sz = dx - k2 * nx, dy - k2 * ny, dz - k2 * nz
+
+    # REFR: Fresnel dielectric + RR
+    into = _dot3(nx, ny, nz, nlx, nly, nlz) > 0.0
+    nnt = jnp.where(into, f32(_NC / _NT), f32(_NT / _NC))
+    ddn = _dot3(dx, dy, dz, nlx, nly, nlz)
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    kk = jnp.where(into, f32(1.0), f32(-1.0)) * (ddn * nnt + _safe_sqrt(cos2t))
+    tx, ty, tz = _normalize(nnt * dx - kk * nx, nnt * dy - kk * ny,
+                            nnt * dz - kk * nz)
+    r0 = f32(((_NT - _NC) / (_NT + _NC)) ** 2)
+    c1 = 1.0 - jnp.where(into, -ddn, _dot3(tx, ty, tz, nx, ny, nz))
+    re = r0 + (1.0 - r0) * c1 ** 5
+    p_ = 0.25 + 0.5 * re
+    rp = re / p_
+    tp_w = (1.0 - re) / (1.0 - p_)
+    take_refl = tir | (urr < p_)
+    rx = jnp.where(take_refl, sx, tx)
+    ry = jnp.where(take_refl, sy, ty)
+    rz = jnp.where(take_refl, sz, tz)
+    rr_w = jnp.where(tir, f32(1.0), jnp.where(urr < p_, rp, tp_w))
+
+    is_spec = orefl == f32(SPEC)
+    ndx = jnp.where(is_diff, ddx, jnp.where(is_spec, sx, rx))
+    ndy = jnp.where(is_diff, ddy, jnp.where(is_spec, sy, ry))
+    ndz = jnp.where(is_diff, ddz, jnp.where(is_spec, sz, rz))
+    mul = jnp.where(is_diff | is_spec, f32(1.0), rr_w)
+
+    live = alive
+    ox = jnp.where(live, hx, ox)
+    oy = jnp.where(live, hy, oy)
+    oz = jnp.where(live, hz, oz)
+    dx = jnp.where(live, ndx, dx)
+    dy = jnp.where(live, ndy, dy)
+    dz = jnp.where(live, ndz, dz)
+    tp_r = jnp.where(live, tp_r * ocx * mul, tp_r)
+    tp_g = jnp.where(live, tp_g * ocy * mul, tp_g)
+    tp_b = jnp.where(live, tp_b * ocz * mul, tp_b)
+    # Mosaic can't select between i1 vectors; express as logic.
+    specular = (live & jnp.logical_not(is_diff)) | (
+        jnp.logical_not(live) & specular)
+
+    return (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+            tp_r, tp_g, tp_b, specular, alive)
+
+
 def _kernel(scene_ref, vpl_ref, tape_ref, *args,
             cfg: IntegratorConfig, light_idx: tuple[int, ...],
             n_spheres: int, n_vpl: int, use_vpl: bool,
@@ -253,168 +452,16 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
     alive = jnp.ones(shape, bool)
 
     for depth in range(cfg.max_depth):
-        # ---- nearest-hit scan + attribute gather (unrolled or streamed)
-        best_t, best_id, (opx, opy, opz, oex, oey, oez,
-                          ocx, ocy, ocz, orefl) = _nearest_hit(
-            scene_ref, n_spheres, ox, oy, oz, dx, dy, dz)
-        hit = best_t < _BIG
-        alive = alive & hit
-        t = jnp.where(hit, best_t, 1.0)
+        def trow(i, depth=depth):
+            return tape_ref[cam_rows + depth * per_depth + i]
 
-        hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
-        nx, ny, nz = _normalize(hx - opx, hy - opy, hz - opz)
-        dp = _dot3(nx, ny, nz, dx, dy, dz)
-        flip = jnp.where(dp > 0.0, f32(-1.0), f32(1.0))
-        nlx, nly, nlz = flip * nx, flip * ny, flip * nz
-
-        # ---- emitter termination (specular chains add emission)
-        is_emit = (oex != 0.0) | (oey != 0.0) | (oez != 0.0)
-        gain = f32(cfg.emission_scale) * jnp.abs(dp)
-        add = alive & is_emit & specular
-        rad_r = rad_r + jnp.where(add, gain * oex * tp_r, 0.0)
-        rad_g = rad_g + jnp.where(add, gain * oey * tp_g, 0.0)
-        rad_b = rad_b + jnp.where(add, gain * oez * tp_b, 0.0)
-        alive = alive & jnp.logical_not(is_emit)
-
-        # ---- NEE at diffuse vertices (device.cu:457-542)
-        is_diff = orefl == f32(DIFF)
-        td_r, td_g, td_b = tp_r * ocx, tp_g * ocy, tp_b * ocz
-        ld_r = jnp.zeros(shape, f32)
-        ld_g = jnp.zeros(shape, f32)
-        ld_b = jnp.zeros(shape, f32)
-        for li, lig in enumerate(light_idx):
-            u1 = tape_ref[cam_rows + depth * per_depth + li]
-            u2 = tape_ref[cam_rows + depth * per_depth + L + li]
-            lrad, lpx, lpy, lpz = (sph(lig, 0), sph(lig, 1), sph(lig, 2),
-                                   sph(lig, 3))
-            zz = 1.0 - 2.0 * u1
-            rr_ = _safe_sqrt(1.0 - zz * zz)
-            phi = 2.0 * jnp.pi * u2
-            ux, uy, uz = rr_ * jnp.cos(phi), rr_ * jnp.sin(phi), zz
-            spx, spy, spz = lpx + lrad * ux, lpy + lrad * uy, lpz + lrad * uz
-            sdx, sdy, sdz = spx - hx, spy - hy, spz - hz
-            slen = jnp.sqrt(_dot3(sdx, sdy, sdz, sdx, sdy, sdz) + 1e-30)
-            inv = 1.0 / slen
-            sdx, sdy, sdz = sdx * inv, sdy * inv, sdz * inv
-            wo = _dot3(sdx, sdy, sdz, ux, uy, uz)
-            facing = wo <= 0.0
-            wo = -wo
-            wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
-            occ = _occluded(scene_ref, n_spheres, hx, hy, hz,
-                            sdx, sdy, sdz, slen - EPSILON, vacuum=False)
-            ok = facing & (wi > 0.0) & jnp.logical_not(occ)
-            scale = (4.0 * jnp.pi * lrad * lrad) * wi * wo / (slen * slen)
-            scale = jnp.where(ok, f32(cfg.light_gain) * scale, 0.0)
-            ld_r = ld_r + sph(lig, 4) * scale
-            ld_g = ld_g + sph(lig, 5) * scale
-            ld_b = ld_b + sph(lig, 6) * scale
-
-        # ---- VPL gather (device.cu:507-540): tiny unrolled window
-        if use_vpl and n_vpl > 0:
-            v_r = jnp.zeros(shape, f32)
-            v_g = jnp.zeros(shape, f32)
-            v_b = jnp.zeros(shape, f32)
-            for v in range(n_vpl):
-                vhx, vhy, vhz = vpl_ref[v, 0], vpl_ref[v, 1], vpl_ref[v, 2]
-                vrx, vry, vrz = vpl_ref[v, 3], vpl_ref[v, 4], vpl_ref[v, 5]
-                vnx, vny, vnz = vpl_ref[v, 6], vpl_ref[v, 7], vpl_ref[v, 8]
-                vvalid = vpl_ref[v, 9] > 0.5
-                sdx, sdy, sdz = vhx - hx, vhy - hy, vhz - hz
-                slen = jnp.sqrt(_dot3(sdx, sdy, sdz, sdx, sdy, sdz) + 1e-30)
-                inv = 1.0 / slen
-                sdx, sdy, sdz = sdx * inv, sdy * inv, sdz * inv
-                wo = _dot3(sdx, sdy, sdz, vnx, vny, vnz)
-                facing = wo <= 0.0
-                wo = -wo
-                wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
-                # vacuum test: only non-emissive spheres block
-                occ = _occluded(scene_ref, n_spheres, hx, hy, hz,
-                                sdx, sdy, sdz, slen - EPSILON, vacuum=True)
-                ok = facing & (wi > 0.0) & jnp.logical_not(occ) & vvalid
-                w = jnp.where(ok, wi * wo, 0.0)
-                v_r = v_r + vrx * w
-                v_g = v_g + vry * w
-                v_b = v_b + vrz * w
-            inv_k = f32(1.0 / n_vpl)
-            ld_r = ld_r + v_r * inv_k
-            ld_g = ld_g + v_g * inv_k
-            ld_b = ld_b + v_b * inv_k
-            if cfg.combine_half:
-                ld_r, ld_g, ld_b = ld_r * 0.5, ld_g * 0.5, ld_b * 0.5
-
-        use = alive & is_diff
-        rad_r = rad_r + jnp.where(use, td_r * ld_r, 0.0)
-        rad_g = rad_g + jnp.where(use, td_g * ld_g, 0.0)
-        rad_b = rad_b + jnp.where(use, td_b * ld_b, 0.0)
-
-        # ---- scatter (bsdf.scatter semantics)
-        du1 = tape_ref[cam_rows + depth * per_depth + 2 * L]
-        du2 = tape_ref[cam_rows + depth * per_depth + 2 * L + 1]
-        urr = tape_ref[cam_rows + depth * per_depth + 2 * L + 2]
-
-        # DIFF: cosine hemisphere about nl with the |w.x|>0.1 ONB trick
-        big_x = jnp.abs(nlx) > 0.1
-        axx = jnp.where(big_x, f32(0.0), f32(1.0))
-        axy = jnp.where(big_x, f32(1.0), f32(0.0))
-        # a x w  (az = 0)
-        ux_, uy_, uz_ = (axy * nlz, -axx * nlz, axx * nly - axy * nlx)
-        ux_, uy_, uz_ = _normalize(ux_, uy_, uz_)
-        vx_ = nly * uz_ - nlz * uy_
-        vy_ = nlz * ux_ - nlx * uz_
-        vz_ = nlx * uy_ - nly * ux_
-        r1 = 2.0 * jnp.pi * du1
-        r2s = jnp.sqrt(du2)
-        cwr = jnp.cos(r1) * r2s
-        swr = jnp.sin(r1) * r2s
-        wz = _safe_sqrt(1.0 - du2)
-        ddx = ux_ * cwr + vx_ * swr + nlx * wz
-        ddy = uy_ * cwr + vy_ * swr + nly * wz
-        ddz = uz_ * cwr + vz_ * swr + nlz * wz
-
-        # SPEC: mirror about geometric normal
-        k2 = 2.0 * _dot3(nx, ny, nz, dx, dy, dz)
-        sx, sy, sz = dx - k2 * nx, dy - k2 * ny, dz - k2 * nz
-
-        # REFR: Fresnel dielectric + RR
-        into = _dot3(nx, ny, nz, nlx, nly, nlz) > 0.0
-        nnt = jnp.where(into, f32(_NC / _NT), f32(_NT / _NC))
-        ddn = _dot3(dx, dy, dz, nlx, nly, nlz)
-        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
-        tir = cos2t < 0.0
-        kk = jnp.where(into, f32(1.0), f32(-1.0)) * (ddn * nnt + _safe_sqrt(cos2t))
-        tx, ty, tz = _normalize(nnt * dx - kk * nx, nnt * dy - kk * ny,
-                                nnt * dz - kk * nz)
-        r0 = f32(((_NT - _NC) / (_NT + _NC)) ** 2)
-        c1 = 1.0 - jnp.where(into, -ddn, _dot3(tx, ty, tz, nx, ny, nz))
-        re = r0 + (1.0 - r0) * c1 ** 5
-        p_ = 0.25 + 0.5 * re
-        rp = re / p_
-        tp_w = (1.0 - re) / (1.0 - p_)
-        take_refl = tir | (urr < p_)
-        rx = jnp.where(take_refl, sx, tx)
-        ry = jnp.where(take_refl, sy, ty)
-        rz = jnp.where(take_refl, sz, tz)
-        rr_w = jnp.where(tir, f32(1.0), jnp.where(urr < p_, rp, tp_w))
-
-        is_spec = orefl == f32(SPEC)
-        ndx = jnp.where(is_diff, ddx, jnp.where(is_spec, sx, rx))
-        ndy = jnp.where(is_diff, ddy, jnp.where(is_spec, sy, ry))
-        ndz = jnp.where(is_diff, ddz, jnp.where(is_spec, sz, rz))
-        mul = jnp.where(is_diff | is_spec, f32(1.0), rr_w)
-
-        live = alive
-        ox = jnp.where(live, hx, ox)
-        oy = jnp.where(live, hy, oy)
-        oz = jnp.where(live, hz, oz)
-        dx = jnp.where(live, ndx, dx)
-        dy = jnp.where(live, ndy, dy)
-        dz = jnp.where(live, ndz, dz)
-        tp_r = jnp.where(live, tp_r * ocx * mul, tp_r)
-        tp_g = jnp.where(live, tp_g * ocy * mul, tp_g)
-        tp_b = jnp.where(live, tp_b * ocz * mul, tp_b)
-        # Mosaic can't select between i1 vectors; express as logic.
-        specular = (live & jnp.logical_not(is_diff)) | (
-            jnp.logical_not(live) & specular)
+        (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b, tp_r, tp_g, tp_b,
+         specular, alive) = _bounce_step(
+            scene_ref, vpl_ref, trow,
+            (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+             tp_r, tp_g, tp_b, specular, alive),
+            cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
+            n_vpl=n_vpl, use_vpl=use_vpl)
 
     rr_ref[:] = rad_r
     rg_ref[:] = rad_g

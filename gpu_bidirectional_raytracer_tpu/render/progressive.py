@@ -127,13 +127,24 @@ def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
             ju, jv = cam_mod.stratify_jitter(ju, jv, state.sample,
                                              cfg.stratify)
         rays = cam_mod.primary_rays(cam, width, height, ju, jv, px, py)
-        radiance = path_tracer.trace(
-            scene, cfg, light_idx, rays, state.key, state.sample,
-            vpls=vpls if cfg.use_vpl else None,
-            vlp_index=vlp_index,
-            direct_only=direct_only,
-            scan_backend=("pallas" if backend == "pallas" else "xla"),
-        ).reshape(height, width, 3)
+        if backend == "pallas":
+            # Many-sphere fused path: one bounce kernel per depth.
+            from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce import (
+                trace_pallas_bounce,
+            )
+
+            radiance = trace_pallas_bounce(
+                scene, cfg, light_idx, rays, state.key, state.sample,
+                vpls=vpls if cfg.use_vpl else None, vlp_index=vlp_index,
+                direct_only=direct_only,
+            ).reshape(height, width, 3)
+        else:
+            radiance = path_tracer.trace(
+                scene, cfg, light_idx, rays, state.key, state.sample,
+                vpls=vpls if cfg.use_vpl else None,
+                vlp_index=vlp_index,
+                direct_only=direct_only,
+            ).reshape(height, width, 3)
 
     # -- Progressive mean with the per-pixel sample cap
     # (device.cu:774-788; cap literal at :607).
@@ -210,15 +221,23 @@ def eye_band_pass(scene: Scene, rays, cfg: IntegratorConfig,
                            vpls=vpls if cfg.use_vpl else None,
                            vlp_index=vlp_index,
                            lane_offset=offset, lane_total=frame_n)
+    elif backend == "pallas":
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce import (
+            trace_pallas_bounce,
+        )
+
+        rad = trace_pallas_bounce(scene, cfg, light_idx, rays, key, sample,
+                                  vpls=vpls if cfg.use_vpl else None,
+                                  vlp_index=vlp_index,
+                                  direct_only=direct_only,
+                                  lane_offset=offset, lane_total=frame_n)
     else:
         rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
                                 sample,
                                 vpls=vpls if cfg.use_vpl else None,
                                 vlp_index=vlp_index,
                                 direct_only=direct_only,
-                                lane_offset=offset, lane_total=frame_n,
-                                scan_backend=("pallas" if backend == "pallas"
-                                              else "xla"))
+                                lane_offset=offset, lane_total=frame_n)
     return rad.reshape(band_h, width, 3)
 
 

@@ -53,17 +53,24 @@ def main() -> None:
     px, py = cam_mod.pixel_grid(w, h)
     salt = int(time.time())
 
-    def make(backend: str, compact: bool):
+    def make(backend: str):
         @jax.jit
         def run(key):
             def one(s, acc):
                 u = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)
                 rays = cam_mod.primary_rays(cam, w, h, u[0], u[1], px, py)
                 vpls = light_tracer.trace_light_paths(scene, cfg, li, key, s)
-                r = path_tracer.trace(scene, cfg, li, rays, key, s,
-                                      vpls=vpls, vlp_index=jnp.int32(0),
-                                      scan_backend=backend,
-                                      scan_compact=compact)
+                if backend == "bounce":
+                    from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce \
+                        import trace_pallas_bounce
+
+                    r = trace_pallas_bounce(scene, cfg, li, rays, key, s,
+                                            vpls=vpls,
+                                            vlp_index=jnp.int32(0))
+                else:
+                    r = path_tracer.trace(scene, cfg, li, rays, key, s,
+                                          vpls=vpls, vlp_index=jnp.int32(0),
+                                          scan_backend=backend)
                 return acc + jnp.sum(r)
             return jax.lax.fori_loop(0, iters, one, jnp.float32(0))
         return run
@@ -71,9 +78,10 @@ def main() -> None:
     out = {"scene": "complex.scn", "spheres": int(scene.num_spheres),
            "resolution": f"{w}x{h}",
            "device": str(jax.devices()[0].device_kind)}
-    for label, backend, compact in (("xla_ms_per_sample", "xla", False),
-                                    ("pallas_ms_per_sample", "pallas", True)):
-        run = make(backend, compact)
+    for label, backend in (("xla_ms_per_sample", "xla"),
+                           ("scan_ms_per_sample", "pallas"),
+                           ("pallas_ms_per_sample", "bounce")):
+        run = make(backend)
         r = run(jax.random.key(salt))
         jax.block_until_ready(r)
         t0 = time.time()

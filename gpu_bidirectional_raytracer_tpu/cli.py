@@ -38,6 +38,7 @@ def _load(scene_path: str | None):
 def _config(mode: str):
     from gpu_bidirectional_raytracer_tpu.core.types import IntegratorConfig
 
+    # "light" = the light-tracing splat integrator (GPU-intent config).
     return (IntegratorConfig.cpu_golden() if mode == "cpu"
             else IntegratorConfig.gpu())
 
@@ -62,7 +63,10 @@ def cmd_render(args) -> int:
     t0 = time.time()
     start = int(r.state.sample)
     for s in range(start, args.spp):
-        r.step()
+        if args.mode == "light":
+            r.step_light()
+        else:
+            r.step()
         if s == start:
             import jax
 
@@ -141,7 +145,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--out", default="out.ppm")
-    p.add_argument("--mode", choices=("gpu", "cpu"), default="gpu")
+    p.add_argument("--mode", choices=("gpu", "cpu", "light"),
+                   default="gpu")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--reference-dims", action="store_true",
                    help="apply the reference's +1 to both axes")

@@ -142,3 +142,73 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
         alive = alive & (vm.max_component(throughput) > cfg.throughput_tol)
 
     return VplBuffer(hp=hp_out, rad=rad_out, nl=nl_out, valid=valid_out)
+
+
+def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
+                  vpls: VplBuffer, width: int, height: int
+                  ) -> tuple[Array, Array]:
+    """Light-trace-to-film splatting: the living counterpart of
+    ``RadianceLightTracing``'s eye connection + ``SamplePixels``
+    (``geomfunc.h:357-365, 216-299`` — the reference's splatting body is
+    entirely commented out; this is the documented intent, batched).
+
+    Per deposited light vertex:
+
+    - **eye visibility**: the segment camera->vertex must be unobstructed.
+      (The dead reference code tested nearest-hit id equality, which
+      wrongly accepts a vertex hidden behind its OWN sphere; the distance
+      test used here is the intent.)
+    - **film projection**: the reference projects with
+      ``xp = 10 * (x_hat.(p - orig)) / (d_hat.(p - orig))`` — exactly the
+      inverse of the primary-ray direction (the homogeneous ``w`` of
+      device.cu:560-600 cancels in the ratio) — then maps to pixels with
+      hand-fudged extents (1.048 / 0.785) that do NOT invert its own
+      camera. We use the exact film extents (camera.FILM_W/H), so a splat
+      lands precisely on the pixel whose primary ray passes through the
+      vertex.
+    - **contribution**: ``Ld = pi * rad`` (SamplePixels' ``test == 0``
+      branch folds ``pi * throughput`` into the carried radiance; our
+      `VplBuffer.rad` already is emission x throughput).
+
+    Returns ``(color_sum [H,W,3], count [H,W])`` — additive film
+    contributions; the caller folds them into its progressive mean
+    (`render.progressive.light_splat_pass`).
+    """
+    from gpu_bidirectional_raytracer_tpu.camera import FILM_H, FILM_KZ, FILM_W
+    from gpu_bidirectional_raytracer_tpu.core.types import EPSILON
+
+    hp = vpls.hp.reshape(-1, 3)                              # [K, 3]
+    rad = vpls.rad.reshape(-1, 3)
+    valid = vpls.valid.reshape(-1)
+
+    x_hat, y_hat, d_hat = vm.norm(cam.x), vm.norm(cam.y), vm.norm(cam.dir)
+    v = hp - cam.orig[None, :]
+    tx, ty, tz = v @ x_hat, v @ y_hat, v @ d_hat
+    front = tz > 1e-6
+    safe_tz = jnp.where(front, tz, 1.0)
+    kx = FILM_KZ * tx / safe_tz
+    ky = FILM_KZ * ty / safe_tz
+    fx = (kx + FILM_W * 0.5) * (width / FILM_W)
+    fy = (ky + FILM_H * 0.5) * (height / FILM_H)
+    pixx = jnp.floor(fx).astype(jnp.int32)
+    pixy = jnp.floor(fy).astype(jnp.int32)
+    in_bounds = ((pixx >= 0) & (pixx < width)
+                 & (pixy >= 0) & (pixy < height))
+
+    # Eye visibility: any blocker strictly nearer than the vertex?
+    len_sq = jnp.sum(v * v, axis=-1)
+    pos = len_sq > 0.0
+    dist = jnp.where(pos, jnp.sqrt(jnp.where(pos, len_sq, 1.0)), 0.0)
+    dunit = v / jnp.maximum(dist, 1e-20)[:, None]
+    orig_b = jnp.broadcast_to(cam.orig[None, :], v.shape)
+    occluded = isect.intersect_p(scene, orig_b, dunit, dist - EPSILON)
+
+    mask = valid & front & in_bounds & jnp.logical_not(occluded)
+    ld = jnp.where(mask[:, None], jnp.pi * rad, 0.0)
+    pix = jnp.where(mask, pixy * width + pixx, 0)
+
+    color_sum = jnp.zeros((height * width, 3), jnp.float32
+                          ).at[pix].add(ld)
+    count = jnp.zeros((height * width,), jnp.int32
+                      ).at[pix].add(mask.astype(jnp.int32))
+    return color_sum.reshape(height, width, 3), count.reshape(height, width)

@@ -160,6 +160,37 @@ def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx"))
+def light_splat_pass(scene: Scene, cam: Camera, state: RenderState,
+                     cfg: IntegratorConfig, width: int, height: int,
+                     light_idx: tuple[int, ...]) -> RenderState:
+    """One light-tracing pass splatted onto the film: the living
+    ``RadianceLightTracing`` integrator mode (`light_tracer.splat_to_film`
+    — the reference's own splatting body is dead code). Each pass traces
+    `cfg.light_points` fresh light subpaths and folds their eye-visible
+    vertices into the per-pixel running mean; pixels receive different
+    sample counts per pass (unlike the eye integrators' one-per-pixel),
+    which the mean-update handles per pixel. Pure; same RenderState."""
+    vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
+                                          state.key, state.sample)
+    add_c, add_n = light_tracer.splat_to_film(scene, cam, cfg, vpls,
+                                              width, height)
+    k = state.counter.astype(jnp.float32)[..., None]
+    n_new = add_n.astype(jnp.float32)[..., None]
+    total = k + n_new
+    updated = (state.colors * k + add_c) / jnp.maximum(total, 1.0)
+    colors = jnp.where(n_new > 0, updated, state.colors)
+    return RenderState(
+        colors=colors,
+        counter=state.counter + add_n,
+        vpls=vpls,
+        vlp_index=state.vlp_index,
+        sample=state.sample + 1,
+        key=state.key,
+    )
+
+
 def _accumulate(colors: Array, counter: Array, radiance: Array,
                 max_samples: int) -> tuple[Array, Array]:
     """Running-mean update, frozen for pixels at the sample cap."""
@@ -309,6 +340,14 @@ class Renderer:
         self.state = render_pass(self.scene, self.camera, self.state,
                                  self.cfg, self.width, self.height,
                                  self.light_idx, direct_only, self.backend)
+        return self.state
+
+    def step_light(self) -> RenderState:
+        """One light-tracing pass splatted onto the film — the living
+        ``RadianceLightTracing`` integrator mode (CLI ``--mode light``)."""
+        self.state = light_splat_pass(self.scene, self.camera, self.state,
+                                      self.cfg, self.width, self.height,
+                                      self.light_idx)
         return self.state
 
     def _step_tiled(self, direct_only: bool = False) -> RenderState:

@@ -119,8 +119,15 @@ def cmd_optimize(args) -> int:
     h, w, _ = target_img.shape
     cam = Camera.make(orig, target_cam, w, h)
 
+    import dataclasses
+
+    cfg = _config(args.mode)
+    if args.vis_tau > 0.0:
+        # Straight-through visibility gradients: cast-shadow motion
+        # carries gradient (types.IntegratorConfig.vis_grad_tau).
+        cfg = dataclasses.replace(cfg, vis_grad_tau=args.vis_tau)
     inv = InverseRenderer(scene=scene, cam=cam, target=target_lin,
-                          cfg=_config(args.mode), width=w, height=h,
+                          cfg=cfg, width=w, height=h,
                           lr=args.lr, spp=args.spp, loss=args.loss,
                           optimize=tuple(args.params.split(",")))
     for i in range(args.steps):
@@ -179,6 +186,10 @@ def main(argv=None) -> int:
     p.add_argument("--spp", type=int, default=4)
     p.add_argument("--params", default="p,rad")
     p.add_argument("--mode", choices=("gpu", "cpu"), default="cpu")
+    p.add_argument("--vis-tau", dest="vis_tau", type=float, default=0.0,
+                   help="straight-through visibility-gradient width in "
+                        "scene units (0 = detached-path gradients only; "
+                        "~2 for Cornell-scale scenes)")
     p.add_argument("--loss", choices=("l2_unbiased", "l2", "log"),
                    default="l2_unbiased")
     p.add_argument("--out", default="optimized.scn")

@@ -109,3 +109,40 @@ def trace_pallas_sharded(scene, cfg, light_idx, rays, key, sample,
         out_specs=P(axis),
         check_vma=False,
     )(scene, rays, key, sample, vpls, vlp_index)
+
+
+def trace_pallas_bounce_sharded(scene, cfg, light_idx, rays, key, sample,
+                                mesh: Mesh, vpls=None, vlp_index=None,
+                                axis: str = RAYS_AXIS,
+                                interpret: bool = False):
+    """SPMD variant of the per-depth bounce kernel (`ops.pallas_bounce`) —
+    the pod deployment path for MANY-SPHERE scenes, mirroring
+    `trace_pallas_sharded`'s contract: each shard draws its window of the
+    global tape, so the sharded render is bitwise-equal to the
+    single-device `trace_pallas_bounce`; no cross-chip traffic."""
+    from jax import shard_map
+
+    from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce import (
+        trace_pallas_bounce,
+    )
+
+    n = rays.o.shape[0]
+    if n % mesh.size:
+        raise ValueError(f"ray count {n} not divisible by mesh size "
+                         f"{mesh.size}; pad the frame")
+    shard_n = n // mesh.size
+
+    def local(scene, rays_shard, key, sample, vpls, vlp_index):
+        off = jax.lax.axis_index(axis) * shard_n
+        return trace_pallas_bounce(scene, cfg, light_idx, rays_shard, key,
+                                   sample, vpls=vpls, vlp_index=vlp_index,
+                                   interpret=interpret,
+                                   lane_offset=off, lane_total=n)
+
+    rep = P()
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, P(axis), rep, rep, rep, rep),
+        out_specs=P(axis),
+        check_vma=False,
+    )(scene, rays, key, sample, vpls, vlp_index)

@@ -126,6 +126,39 @@ class TestPallasUnderSharding:
                                              out.ndim)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_sharded_bounce_kernel_matches_bitwise(self, eight_devices):
+        """The per-depth bounce kernel (many-sphere path) under shard_map
+        is bitwise-equal to its single-device run — pod deployment covers
+        big scenes too."""
+        from gpu_bidirectional_raytracer_tpu.core.types import Camera
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce import (
+            trace_pallas_bounce,
+        )
+        from gpu_bidirectional_raytracer_tpu.render.progressive import (
+            frame_rays,
+        )
+
+        scene = builtin.cornell_box()
+        w, h = 16, 16
+        cfg = IntegratorConfig(use_vpl=False)
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        sample = jnp.int32(0)
+        rays = frame_rays(cam, cfg, w, h, key, sample)
+
+        ref = trace_pallas_bounce(scene, cfg, li, rays, key, sample)
+        m = pmesh.make_mesh(eight_devices)
+        out = pmesh.trace_pallas_bounce_sharded(scene, cfg, li, rays, key,
+                                                sample, m, interpret=True)
+        assert out.sharding.is_equivalent_to(NamedSharding(m, P("rays")),
+                                             out.ndim)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_sharded_pallas_rejects_indivisible(self, eight_devices):
         from gpu_bidirectional_raytracer_tpu.core.types import Camera
         from gpu_bidirectional_raytracer_tpu.integrators.direct import (

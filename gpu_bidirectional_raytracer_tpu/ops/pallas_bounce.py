@@ -90,12 +90,14 @@ def trace_pallas_bounce(scene: Scene, cfg: IntegratorConfig,
                         sample: Array, vpls: VplBuffer | None = None,
                         vlp_index: Array | None = None,
                         direct_only: bool = False,
-                        tile_rows: int = 8, interpret: bool = False,
+                        tile_rows: int = 16, interpret: bool = False,
                         lane_offset=None,
                         lane_total: int | None = None) -> Array:
     """Drop-in replacement for `path_tracer.trace` (forward only) built
     on the per-depth bounce kernel. Preferred above
-    `pallas_trace._UNROLL_CAP` spheres."""
+    `pallas_trace._UNROLL_CAP` spheres. ``tile_rows=16`` measured best on
+    v5e at complex.scn scale (25.0 ms/sample vs 31.5 at 8; 32 exceeds the
+    Mosaic scoped-VMEM stack even at the raised cap)."""
     interpret = interpret or jax.default_backend() != "tpu"
     n = rays.o.shape[0]
     L = max(len(light_idx), 1)

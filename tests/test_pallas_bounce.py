@@ -2,7 +2,7 @@
 the many-sphere megakernel. Parity vs the XLA tracer on the same tape;
 interpret mode on CPU (cornell-scale scenes keep the unrolled-body
 compiles test-feasible — the 783-sphere configuration is exercised on
-real hardware by tools/bench_complex.py: 31.5 vs 66.7 ms/sample, 2.12x).
+real hardware by tools/bench_complex.py: 25.0 vs 66.7 ms/sample, 2.67x).
 """
 
 import numpy as np

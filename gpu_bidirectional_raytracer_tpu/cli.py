@@ -126,6 +126,10 @@ def cmd_optimize(args) -> int:
         # Straight-through visibility gradients: cast-shadow motion
         # carries gradient (types.IntegratorConfig.vis_grad_tau).
         cfg = dataclasses.replace(cfg, vis_grad_tau=args.vis_tau)
+    if args.sil_tau > 0.0:
+        # Straight-through coverage gradients: primary-hit silhouette
+        # motion carries gradient (types.IntegratorConfig.sil_grad_tau).
+        cfg = dataclasses.replace(cfg, sil_grad_tau=args.sil_tau)
     inv = InverseRenderer(scene=scene, cam=cam, target=target_lin,
                           cfg=cfg, width=w, height=h,
                           lr=args.lr, spp=args.spp, loss=args.loss,
@@ -190,6 +194,10 @@ def main(argv=None) -> int:
                    help="straight-through visibility-gradient width in "
                         "scene units (0 = detached-path gradients only; "
                         "~2 for Cornell-scale scenes)")
+    p.add_argument("--sil-tau", dest="sil_tau", type=float, default=0.0,
+                   help="straight-through primary-silhouette-gradient "
+                        "width in scene units (0 = off; visible-sphere "
+                        "coverage motion carries gradient when > 0)")
     p.add_argument("--loss", choices=("l2_unbiased", "l2", "log"),
                    default="l2_unbiased")
     p.add_argument("--out", default="optimized.scn")

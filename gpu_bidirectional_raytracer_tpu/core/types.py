@@ -212,6 +212,16 @@ class IntegratorConfig:
     # documented in diff/gradients.py. ~1-2 scene units works for the
     # 100-unit Cornell-scale scenes.
     vis_grad_tau: float = 0.0
+    # Primary-silhouette-gradient relaxation width (scene units), 0 = off.
+    # When > 0, the differentiable renderer (diff/gradients.py) adds a
+    # zero-primal straight-through coverage carrier at bounce 0: images
+    # are unchanged, but the backward pass sees the PRIMARY hit ids'
+    # silhouettes move — d pixel = stop(L_fg - L_bg) * d sigmoid(det/width)
+    # — closing the argmin-hit-id gradient hole that vis_grad_tau (cast
+    # shadows) does not cover. Same units as vis_grad_tau; applied outside
+    # the tracer, so it composes with every backend including the pallas
+    # adjoint. See diff/gradients.py::_silhouette_carrier.
+    sil_grad_tau: float = 0.0
     # Emulate the reference's scheduler defect for parity studies: its VPL
     # gather window slides off the end of ``dev_lp`` into stale memory
     # instead of wrapping (smallpt_cpu.c:292 + device.cu:510-514). With

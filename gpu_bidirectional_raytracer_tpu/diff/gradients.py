@@ -34,9 +34,12 @@ Known estimator limits (measured, see tests):
   <= 1 ulp) and whose backward is a sigmoid of each blocker's
   discriminant — so an
   occluder or light position can be fitted against a shadow-dominated
-  target (tests/test_visibility_grad.py). Remaining zero-gradient
-  structure: primary/secondary hit silhouettes (the argmin hit id) and
-  shadow segments whose blocker straddles a segment endpoint.
+  target (tests/test_visibility_grad.py). PRIMARY hit silhouettes (the
+  bounce-0 argmin hit id) carry gradient when ``cfg.sil_grad_tau > 0``
+  via the zero-primal coverage carrier `_silhouette_carrier` (applied
+  outside the tracer, so it composes with the pallas adjoint). Remaining
+  zero-gradient structure: secondary (mirror-seen/indirect) silhouettes
+  and shadow segments whose blocker straddles a segment endpoint.
 """
 
 from __future__ import annotations
@@ -57,8 +60,97 @@ from gpu_bidirectional_raytracer_tpu.core.types import (
     IntegratorConfig,
     Scene,
 )
+from gpu_bidirectional_raytracer_tpu.integrators import direct as nee
+from gpu_bidirectional_raytracer_tpu.integrators import intersect as isect
 from gpu_bidirectional_raytracer_tpu.integrators import path_tracer
 from gpu_bidirectional_raytracer_tpu.integrators.direct import static_light_indices
+
+_BIG = 1e20
+
+
+def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
+                        light_idx: tuple[int, ...], o: Array, d: Array,
+                        rad: Array, key: Array, sample: Array) -> Array:
+    """Zero-primal straight-through primary-silhouette carrier ``[N, 3]``.
+
+    The remaining zero-gradient structure after ``vis_grad_tau`` (cast
+    shadows) is the argmin hit id itself: a sphere's visible silhouette
+    sweeping across pixels as its position/radius changes. This relaxes
+    the PRIMARY hit's pixel coverage the same way
+    `intersect.soft_visibility` relaxes occlusion — the primal image is
+    untouched (the returned term is exactly ``x - stop_gradient(x) = 0``)
+    and the backward pass sees
+
+        d pixel = stop(L_fg - L_bg) * d sigmoid(det_hit / (tau * r_hit))
+
+    with ``det_hit`` the hit sphere's ray discriminant (silhouette-only
+    relaxation: ``d det / d perpendicular-distance = -2 r`` at the edge,
+    so ``tau`` is ~scene units for every sphere size), ``L_fg`` the
+    pixel's own traced radiance, and ``L_bg`` a VALUE-ONLY estimate of
+    what the pixel would see were the hit sphere absent: emission + one
+    NEE at the second-nearest hit (indirect light at the revealed surface
+    is ignored — a documented bias that costs one extra direct-lighting
+    sample, not a second path trace). The ``x2`` compensates the band's
+    one-sidedness: only lanes that HIT the sphere carry the carrier (the
+    outside half of the sigmoid band has no L_fg), which integrates to
+    half the coverage step (FD-validated in tests/test_silhouette_grad.py).
+
+    The L_bg NEE reuses the depth-0 ``LIGHT_UV`` tape columns — no new
+    draw site, so the golden tape contract (rng.py) is untouched; it is
+    consumed inside stop_gradient, so the correlation with the primal's
+    own depth-0 NEE cannot reach the image.
+
+    Scope: bounce-0 silhouettes only (the ones the camera sees directly);
+    mirror-seen or deeper silhouettes remain detached. Capability upgrade
+    of the sphere-editing loop at ``display_func.c:347-369``, same chain
+    as ``vis_grad_tau``.
+    """
+    n = o.shape[0]
+    sg = jax.lax.stop_gradient
+    scene0 = jax.tree_util.tree_map(sg, scene)
+
+    hit, _, hid = isect.intersect(scene0, o, d)
+    oh = jax.nn.one_hot(hid, scene.num_spheres, dtype=jnp.float32)
+    # Differentiable discriminant of the (stopped) hit sphere; the one-hot
+    # matmul routes d det into the hit rows of scene.p / scene.rad.
+    p_h = jnp.dot(oh, scene.p, preferred_element_type=jnp.float32)
+    r_h = jnp.dot(oh, scene.rad[:, None],
+                  preferred_element_type=jnp.float32)[:, 0]
+    op = p_h - o
+    b = jnp.sum(op * d, axis=-1)
+    det = b * b - jnp.sum(op * op, axis=-1) + r_h * r_h
+    width = sg(jnp.maximum(cfg.sil_grad_tau * r_h, 1e-6))
+    cov = jax.nn.sigmoid(det / width)
+
+    # ---- L_bg: value-only shading of the second-nearest hit ----
+    ts = isect.sphere_distances(scene0, o, d)
+    masked = jnp.where((ts > 0.0) & (oh < 0.5), ts, _BIG)
+    t2 = jnp.min(masked, axis=-1)
+    hid2 = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+    hit2 = t2 < _BIG
+    hp2 = o + jnp.where(hit2, t2, 1.0)[:, None] * d
+    from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
+    from gpu_bidirectional_raytracer_tpu.core.types import DIFF
+
+    p2, e2, c2, refl2 = isect.gather_sphere_attrs(scene0, hid2)
+    normal2 = vm.norm(hp2 - p2, eps=1e-20)
+    dp2 = vm.dot(normal2, d)
+    nl2 = vm.smul(jnp.where(dp2 > 0.0, -1.0, 1.0), normal2)
+    emit2 = cfg.emission_scale * jnp.abs(dp2)[:, None] * e2
+    if light_idx:
+        L = len(light_idx)
+        light_u = rng.site_uniforms(key, sample, 0, rng.LIGHT_UV,
+                                    2 * L, n).reshape(L, 2, n)
+        cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
+        ld2 = nee.sample_direct(scene0, cfg0, light_idx, hp2, nl2, light_u)
+    else:
+        ld2 = jnp.zeros((n, 3), dtype=jnp.float32)
+    l_bg = emit2 + jnp.where((refl2 == DIFF)[:, None], c2 * ld2, 0.0)
+    l_bg = sg(jnp.where(hit2[:, None], l_bg, 0.0))
+
+    delta = sg(rad - l_bg)
+    carrier = 2.0 * delta * (cov * hit.astype(jnp.float32))[:, None]
+    return carrier - sg(carrier)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
@@ -124,6 +216,10 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
             rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
                                     vlp_index=vlp_index, remat=True)
+        if cfg.sil_grad_tau > 0.0:
+            rad = rad + _silhouette_carrier(scene, cfg, light_idx,
+                                            rays.o, rays.d, rad, key,
+                                            jnp.int32(s))
         return acc + rad
 
     acc = jax.lax.fori_loop(

@@ -881,6 +881,7 @@ def trace_pallas_diff(scene: Scene, cfg: IntegratorConfig,
     """Differentiable drop-in for `path_tracer.trace`: same estimator and
     tape as `trace_pallas`, with a hand-written pallas VJP w.r.t. scene
     parameters, the VPL buffer, and the primary rays."""
+    interpret = interpret or jax.default_backend() != "tpu"
     n = rays.o.shape[0]
     L = max(len(light_idx), 1)
     _, k_total = _tape_rows(cfg, L)

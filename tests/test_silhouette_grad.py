@@ -1,0 +1,163 @@
+"""Primary-hit silhouette gradients: the straight-through coverage
+estimator (``IntegratorConfig.sil_grad_tau`` +
+``diff.gradients._silhouette_carrier``).
+
+After ``vis_grad_tau`` (cast shadows), the remaining zero-gradient
+structure in the detached-path estimator is the argmin hit id itself:
+a sphere's VISIBLE silhouette sweeping across pixels carries no
+gradient, so position/radius fitting against silhouette-dominated
+targets drifts or diverges (the detached position gradient has the
+wrong sign on the scene below). These tests pin:
+
+1. the primal image is unchanged (the carrier is exactly zero);
+2. silhouette-dominated derivatives approach finite differences where
+   the detached estimator is badly wrong or sign-flipped;
+3. the carrier composes with the pallas adjoint backend (it is applied
+   OUTSIDE the tracer);
+4. a sphere-position fit against a silhouette-dominated target
+   converges where the detached estimator pushes the wrong way.
+
+Scene: a floating diffuse sphere against empty sky (nothing behind it,
+no shadow receiver), lit from behind the camera — the image derivative
+w.r.t. the sphere's position/radius is dominated by its silhouette.
+A fixed random pixel weighting breaks the left-edge/right-edge
+cancellation so FD comparisons are sharp.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    Camera,
+    IntegratorConfig,
+    Scene,
+)
+from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+from gpu_bidirectional_raytracer_tpu.integrators.direct import static_light_indices
+
+W, H = 64, 48
+
+
+def _floating_sphere_scene():
+    return Scene(
+        rad=jnp.array([10.0, 5.0]),
+        p=jnp.array([[0.0, 0.0, 0.0], [30.0, 40.0, 80.0]]),
+        e=jnp.array([[0.0, 0.0, 0.0], [20.0, 20.0, 20.0]]),
+        c=jnp.array([[0.6, 0.6, 0.2], [0.0, 0.0, 0.0]]),
+        refl=jnp.array([0, 0], jnp.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = _floating_sphere_scene()
+    cam = Camera.make(jnp.array([0.0, 0.0, 60.0]),
+                      jnp.array([0.0, 0.0, 0.0]), W, H)
+    li = static_light_indices(scene)
+    key = jax.random.key(0)
+    wts = jax.random.uniform(jax.random.key(7), (H, W, 3))
+    return scene, cam, li, key, wts
+
+
+def _grads(setup, tau, param, idx, eps, spp=8, use_vpl=False):
+    scene, cam, li, key, wts = setup
+    base = (IntegratorConfig() if use_vpl else IntegratorConfig.cpu_golden())
+    cfg = dataclasses.replace(base, sil_grad_tau=tau)
+
+    def render_fn(sc):
+        return G.render_radiance(sc, cam, key, cfg, W, H, li, spp)
+
+    auto = jax.grad(lambda sc: jnp.sum(wts * render_fn(sc)),
+                    allow_int=True)(scene)
+    fd = float((np.asarray(wts)
+                * G.pixel_grad_fd(scene, render_fn, param, idx, eps)).sum())
+    return float(np.asarray(getattr(auto, param))[idx]), fd
+
+
+class TestPrimalInvariance:
+    def test_image_unchanged(self, setup):
+        scene, cam, li, key, _ = setup
+        cfg = IntegratorConfig.cpu_golden()
+        cfg_t = dataclasses.replace(cfg, sil_grad_tau=2.0)
+        a = np.asarray(G.render_radiance(scene, cam, key, cfg, W, H, li, 2))
+        b = np.asarray(G.render_radiance(scene, cam, key, cfg_t, W, H, li, 2))
+        # The carrier is exactly 0.0; the extra subgraph shares nothing
+        # with the primal accumulation on this path.
+        np.testing.assert_array_equal(a, b)
+
+    def test_image_unchanged_bidirectional(self, setup):
+        scene, cam, li, key, _ = setup
+        cfg = IntegratorConfig()  # use_vpl=True
+        cfg_t = dataclasses.replace(cfg, sil_grad_tau=2.0)
+        a = np.asarray(G.render_radiance(scene, cam, key, cfg, W, H, li, 2))
+        b = np.asarray(G.render_radiance(scene, cam, key, cfg_t, W, H, li, 2))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+class TestSilhouetteFdAgreement:
+    def test_radius_matches_fd(self, setup):
+        # Growing the sphere grows its visible disc: the coverage term is
+        # ~1/3 of the FD derivative here and the detached estimator misses
+        # all of it.
+        got_det, fd = _grads(setup, 0.0, "rad", (0,), 0.5)
+        got_sil, _ = _grads(setup, 1.0, "rad", (0,), 0.5)
+        assert abs(got_det - fd) / abs(fd) > 0.3, (got_det, fd)
+        assert abs(got_sil - fd) / abs(fd) < 0.25, (got_sil, fd)
+
+    def test_position_sign(self, setup):
+        # Lateral/vertical motion: which pixels the disc covers is the
+        # WHOLE derivative (uniform sky behind). The detached estimator
+        # has the wrong sign on both axes; the coverage carrier agrees
+        # with FD.
+        for axis in (0, 1):
+            got_det, fd = _grads(setup, 0.0, "p", (0, axis), 1.0)
+            got_sil, _ = _grads(setup, 2.0, "p", (0, axis), 1.0)
+            assert np.sign(got_det) != np.sign(fd), (axis, got_det, fd)
+            assert np.sign(got_sil) == np.sign(fd), (axis, got_sil, fd)
+
+    def test_composes_with_pallas_backend(self, setup):
+        # The carrier is applied outside the tracer: the pallas custom-vjp
+        # backend must carry the same silhouette gradient as the XLA path
+        # (same tape, same estimator; interpret-mode pallas on CPU).
+        scene, cam, li, key, _ = setup
+        cfg = dataclasses.replace(IntegratorConfig(), sil_grad_tau=2.0,
+                                  max_depth=2)
+
+        def g(backend):
+            return jax.grad(
+                lambda sc: jnp.sum(G.render_radiance(
+                    sc, cam, key, cfg, 16, 12, li, 1, backend)),
+                allow_int=True)(scene)
+
+        gx = g("xla")
+        gp = g("pallas")
+        np.testing.assert_allclose(np.asarray(gp.p), np.asarray(gx.p),
+                                   rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp.rad), np.asarray(gx.rad),
+                                   rtol=2e-3, atol=1e-5)
+
+
+class TestSilhouetteRecovery:
+    def test_position_recovery_converges(self, setup):
+        # Fit the sphere's position back from a 4-unit x offset. The
+        # detached estimator pushes the WRONG way on this scene (see
+        # test_position_sign); the coverage carrier converges.
+        scene, cam, li, key, _ = setup
+        cfg0 = IntegratorConfig.cpu_golden()
+        target = G.render_radiance(scene, cam, key, cfg0, W, H, li, 4)
+        wrong = scene.replace(p=scene.p.at[0, 0].add(4.0))
+        cfg = dataclasses.replace(cfg0, sil_grad_tau=2.0)
+        inv = G.InverseRenderer(scene=wrong, cam=cam, target=target,
+                                cfg=cfg, width=W, height=H, lr=0.3, spp=4,
+                                optimize=("p",), resample=False, loss="l2")
+        e0 = abs(float(inv.scene.p[0, 0] - scene.p[0, 0]))
+        for _ in range(40):
+            inv.step()
+        e1 = abs(float(inv.scene.p[0, 0] - scene.p[0, 0]))
+        assert e0 == pytest.approx(4.0)
+        assert e1 < 1.0, (e0, e1)

@@ -181,18 +181,18 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     ``backend='pallas'`` swaps the XLA tracer for the fused megakernel
     with its hand-written pallas VJP (`ops.pallas_grad`): same estimator
     and tape, fwd+bwd 10.0ms vs 24.4ms at cornell 512x512 on v5e (the XLA
-    path is at its remat bound). Falls back to XLA above the 64-sphere
-    unroll cap.
+    path is at its remat bound), including the ``vis_grad_tau``
+    straight-through visibility carrier. Falls back to XLA above the
+    64-sphere unroll cap.
     """
     from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
 
     px, py = cam_mod.pixel_grid(width, height)
     n = width * height
-    # The hand-written pallas adjoint implements the detached-path
-    # estimator only: fall back to XLA above its 64-sphere unroll cap and
-    # whenever the straight-through visibility gradient is on.
-    use_pallas = (backend == "pallas" and scene.num_spheres <= 64
-                  and cfg.vis_grad_tau == 0.0)
+    # The hand-written pallas adjoint covers the detached-path estimator
+    # AND the straight-through visibility carrier (vis_grad_tau); only the
+    # 64-sphere unroll cap still falls back to XLA.
+    use_pallas = backend == "pallas" and scene.num_spheres <= 64
 
     def one_sample(s, acc):
         jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)

@@ -16,6 +16,11 @@ The function being adjointed is the eye kernel re-design of
 
 - discrete structure (hit ids, material/emitter masks, occlusion, facing
   tests, Fresnel RR branch, specular flags) is DETACHED;
+- with ``cfg.vis_grad_tau > 0`` the reverse sweep additionally carries the
+  straight-through visibility gradient (the zero-primal carriers of
+  `integrators/direct.py:113-124,187-196`): stop(contrib) times the
+  adjoint of `intersect.soft_visibility`, routed into blocker p/rad and
+  the shadow-segment endpoints — forward output is unchanged;
 - hit distances are differentiable through the quadratic root of the
   (stopped) hit sphere, with the same tangency clamp as
   `integrators/intersect.py:75` (d sqrt(det) is zero for det <= 1e-6);
@@ -160,9 +165,32 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
     L = max(len(light_idx), 1)
     per_depth, _ = _tape_rows(cfg, L)
     D = cfg.max_depth
+    # Straight-through visibility carrier (IntegratorConfig.vis_grad_tau,
+    # intersect.soft_visibility): zero-primal, so the FORWARD recompute is
+    # untouched; the reverse sweep additionally routes
+    # stop(contrib) * d(soft) into blocker p/rad and the shadow-segment
+    # endpoints. Division-free identity used below: with
+    # soft = prod_s (1 - edge_s * gate_s) and gate hard,
+    #   d soft / d det_s = -gate_s * edge_s * soft / width_s
+    # (the (1 - edge_s) factor of sigma' cancels against soft's own
+    # factor_s when gate_s = 1, and both sides are 0 when gate_s = 0).
+    vis = cfg.vis_grad_tau > 0.0
 
     def sph(s, k):
         return scene_ref[s, k]
+
+    def vis_edge_gate(s, ox_, oy_, oz_, sdx, sdy, sdz, maxt):
+        """(edge, gate, width, b, op) of blocker ``s`` for one shadow ray."""
+        opx_s = sph(s, 1) - ox_
+        opy_s = sph(s, 2) - oy_
+        opz_s = sph(s, 3) - oz_
+        b_s = _dot3(opx_s, opy_s, opz_s, sdx, sdy, sdz)
+        det_s = (b_s * b_s - _dot3(opx_s, opy_s, opz_s, opx_s, opy_s, opz_s)
+                 + sph(s, 0) * sph(s, 0))
+        width = jnp.maximum(f32(cfg.vis_grad_tau) * sph(s, 0), f32(1e-6))
+        edge = 1.0 / (1.0 + jnp.exp(-det_s / width))
+        gate = _f32m((b_s > EPSILON) & (b_s < maxt))
+        return edge, gate, width, b_s, (opx_s, opy_s, opz_s)
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -491,10 +519,15 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
             occ = jnp.zeros(shape, bool)
             maxt = slen - EPSILON
+            soft = jnp.ones(shape, f32)
             for s in range(n_spheres):
                 ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
                                       sph(s, 0), hx, hy, hz, sdx, sdy, sdz)
                 occ = occ | ((ts > 0.0) & (ts < maxt))
+                if vis:
+                    edge, gate, _, _, _ = vis_edge_gate(
+                        s, hx, hy, hz, sdx, sdy, sdz, maxt)
+                    soft = soft * (1.0 - edge * gate)
             ok_m = _f32m((wo >= 0.0) & (wi > 0.0) & jnp.logical_not(occ))
             inv2 = inv * inv
             core = (4.0 * jnp.pi) * (lrad * lrad) * wi * wo * inv2
@@ -503,7 +536,7 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             ld_g = ld_g + sph(lig, 5) * scale
             ld_b = ld_b + sph(lig, 6) * scale
             nee_res.append((lig, uxs, uys, uzs, rwx, rwy, rwz, inv, wi, wo,
-                            ok_m, scale))
+                            ok_m, scale, core, soft))
 
         vpl_res = []
         if use_vpl and n_vpl > 0:
@@ -524,6 +557,7 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
                 occ = jnp.zeros(shape, bool)
                 maxt = slen - EPSILON
+                soft = jnp.ones(shape, f32)
                 for s in range(n_spheres):
                     ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
                                           sph(s, 0), hx, hy, hz,
@@ -532,14 +566,19 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                     nonlite = (sph(s, 4) == 0.0) & (sph(s, 5) == 0.0) & (
                         sph(s, 6) == 0.0)
                     occ = occ | (blocked & nonlite)
+                    if vis:
+                        edge, gate, _, _, _ = vis_edge_gate(
+                            s, hx, hy, hz, sdx, sdy, sdz, maxt)
+                        soft = soft * (1.0 - edge * gate * _f32m(nonlite))
                 ok_m = _f32m((wo >= 0.0) & (wi > 0.0)
                              & jnp.logical_not(occ) & vvalid)
+                ok_vis = _f32m((wo >= 0.0) & (wi > 0.0) & vvalid)
                 w = ok_m * wi * wo
                 v_r = v_r + vrx * w
                 v_g = v_g + vry * w
                 v_b = v_b + vrz * w
                 vpl_res.append((v, vrx, vry, vrz, rwx, rwy, rwz, inv,
-                                wi, wo, ok_m, w))
+                                wi, wo, ok_m, w, ok_vis, soft))
             inv_k = f32(1.0 / n_vpl)
             ld_r = ld_r + v_r * inv_k
             ld_g = ld_g + v_g * inv_k
@@ -566,7 +605,7 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                                            bld_b * half)
 
         for (lig, uxs, uys, uzs, rwx, rwy, rwz, inv, wi, wo, ok_m,
-             scale) in nee_res:
+             scale, core, soft) in nee_res:
             lrad = sph(lig, 0)
             le_r, le_g, le_b = sph(lig, 4), sph(lig, 5), sph(lig, 6)
             # ld_ch += e_ch * scale
@@ -588,6 +627,34 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             bsd_y = bwi * nly - bwo * uys
             bsd_z = bwi * nlz - bwo * uzs
             bnl_x += bwi * sdx; bnl_y += bwi * sdy; bnl_z += bwi * sdz
+            if vis:
+                # Visibility carrier: rad += stop(contrib) * soft (the
+                # zero-primal term of direct.py:113-124). bsoft is the
+                # per-lane cotangent of soft; each blocker's det then
+                # routes into its p/rad AND into the shadow segment
+                # (hp via op, sdir via b) exactly as XLA's autodiff of
+                # intersect.soft_visibility does.
+                ok_vis = _f32m((wo >= 0.0) & (wi > 0.0))
+                bsoft = (bld_dir_r * le_r + bld_dir_g * le_g
+                         + bld_dir_b * le_b) * f32(cfg.light_gain) \
+                    * core * ok_vis
+                maxt = 1.0 / inv - EPSILON
+                for s in range(n_spheres):
+                    edge, gate, width, b_s, (opx_s, opy_s, opz_s) = \
+                        vis_edge_gate(s, hx, hy, hz, sdx, sdy, sdz, maxt)
+                    bdet = bsoft * soft * (-(gate * edge) / width)
+                    bb2 = 2.0 * b_s * bdet
+                    bop_x = bb2 * sdx - 2.0 * opx_s * bdet
+                    bop_y = bb2 * sdy - 2.0 * opy_s * bdet
+                    bop_z = bb2 * sdz - 2.0 * opz_s * bdet
+                    bhp_x -= bop_x; bhp_y -= bop_y; bhp_z -= bop_z
+                    bsd_x += bb2 * opx_s
+                    bsd_y += bb2 * opy_s
+                    bsd_z += bb2 * opz_s
+                    add_tab(s, 0, jnp.sum(2.0 * sph(s, 0) * bdet))
+                    add_tab(s, 1, jnp.sum(bop_x))
+                    add_tab(s, 2, jnp.sum(bop_y))
+                    add_tab(s, 3, jnp.sum(bop_z))
             # sdir = raw * inv
             brw_x = bsd_x * inv
             brw_y = bsd_y * inv
@@ -619,7 +686,7 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             bv_g = bld_g * half * inv_k
             bv_b = bld_b * half * inv_k
             for (v, vrx, vry, vrz, rwx, rwy, rwz, inv, wi, wo, ok_m,
-                 w) in vpl_res:
+                 w, ok_vis, soft) in vpl_res:
                 vnx, vny, vnz = vpl_ref[v, 6], vpl_ref[v, 7], vpl_ref[v, 8]
                 # v_ch += vrad_ch * w
                 bvr_r = jnp.sum(bv_r * w)
@@ -636,6 +703,34 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 bvn_x = jnp.sum(-bwo * sdx)
                 bvn_y = jnp.sum(-bwo * sdy)
                 bvn_z = jnp.sum(-bwo * sdz)
+                if vis:
+                    # Virtual-shadow-ray carrier (direct.py:187-196):
+                    # vacuum soft — emitters never block, so their gate
+                    # was zeroed in the recompute and bdet is 0 there.
+                    bsoft = (bv_r * vrx + bv_g * vry + bv_b * vrz) \
+                        * ok_vis * wi * wo
+                    maxt = 1.0 / inv - EPSILON
+                    for s in range(n_spheres):
+                        edge, gate, width, b_s, (opx_s, opy_s, opz_s) = \
+                            vis_edge_gate(s, hx, hy, hz, sdx, sdy, sdz,
+                                          maxt)
+                        nonlite = _f32m((sph(s, 4) == 0.0)
+                                        & (sph(s, 5) == 0.0)
+                                        & (sph(s, 6) == 0.0))
+                        bdet = bsoft * soft * (
+                            -(gate * nonlite * edge) / width)
+                        bb2 = 2.0 * b_s * bdet
+                        bop_x = bb2 * sdx - 2.0 * opx_s * bdet
+                        bop_y = bb2 * sdy - 2.0 * opy_s * bdet
+                        bop_z = bb2 * sdz - 2.0 * opz_s * bdet
+                        bhp_x -= bop_x; bhp_y -= bop_y; bhp_z -= bop_z
+                        bsd_x += bb2 * opx_s
+                        bsd_y += bb2 * opy_s
+                        bsd_z += bb2 * opz_s
+                        add_tab(s, 0, jnp.sum(2.0 * sph(s, 0) * bdet))
+                        add_tab(s, 1, jnp.sum(bop_x))
+                        add_tab(s, 2, jnp.sum(bop_y))
+                        add_tab(s, 3, jnp.sum(bop_z))
                 brw_x = bsd_x * inv
                 brw_y = bsd_y * inv
                 brw_z = bsd_z * inv

@@ -16,7 +16,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gpu_bidirectional_raytracer_tpu.core.types import Camera, IntegratorConfig
+from gpu_bidirectional_raytracer_tpu.core.types import (
+    Camera,
+    IntegratorConfig,
+    Scene,
+)
 from gpu_bidirectional_raytracer_tpu.integrators import light_tracer, path_tracer
 from gpu_bidirectional_raytracer_tpu.integrators.direct import static_light_indices
 from gpu_bidirectional_raytracer_tpu.ops.pallas_grad import trace_pallas_diff
@@ -86,6 +90,81 @@ class TestPallasAdjoint:
     def test_grads_match_xla_autodiff_bidirectional(self):
         # Cornell: the VPL gather contributes real signal at depth 2.
         scene, cfg, li, rays, key, sample = _setup("cornell_builtin")
+
+        def render(sc, tracer):
+            vpls = light_tracer.trace_light_paths(sc, cfg, li, key, sample)
+            return jnp.sum(tracer(sc, cfg, li, rays, key, sample, vpls=vpls,
+                                  vlp_index=jnp.int32(0)) ** 2)
+
+        pl_tracer = lambda *a, **k: trace_pallas_diff(
+            *a, **k, interpret=True, tile_rows=8)
+        gx = jax.grad(lambda s: render(s, path_tracer.trace),
+                      allow_int=True)(scene)
+        gp = jax.grad(lambda s: render(s, pl_tracer), allow_int=True)(scene)
+        for name in ("p", "rad", "e", "c"):
+            a = np.asarray(getattr(gx, name))
+            b = np.asarray(getattr(gp, name))
+            assert np.isfinite(b).all(), name
+            assert _max_rel(a, b) < 2e-2, (name, _max_rel(a, b))
+
+    def test_grads_match_xla_autodiff_visibility_unidirectional(self):
+        # Occluder wedged between simple.scn's light and its ground plane
+        # (same construction as tests/test_visibility_grad.py): the
+        # straight-through carrier (cfg.vis_grad_tau) dominates the
+        # blocker's p/rad gradients, so parity here proves the kernel's
+        # hand-written soft-visibility adjoint, not just the detached path.
+        orig, target, base = load_scene(os.path.join(SCENES, "simple.scn"))
+        scene = Scene(
+            rad=jnp.concatenate([base.rad, jnp.array([6.0])]),
+            p=jnp.concatenate([base.p, jnp.array([[0.0, 40.0, 0.0]])]),
+            e=jnp.concatenate([base.e, jnp.zeros((1, 3))]),
+            c=jnp.concatenate([base.c, jnp.array([[0.5, 0.5, 0.5]])]),
+            refl=jnp.concatenate([base.refl, jnp.array([0], jnp.int32)]),
+        )
+        w, h = 16, 12
+        cfg = IntegratorConfig(max_depth=2, use_vpl=False,
+                               combine_half=False, vis_grad_tau=2.0)
+        cam = Camera.make(orig, target, w, h)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        sample = jnp.int32(0)
+        rays = frame_rays(cam, cfg, w, h, key, sample)
+
+        def loss_xla(sc):
+            return jnp.sum(path_tracer.trace(sc, cfg, li, rays, key,
+                                             sample) ** 2)
+
+        def loss_pl(sc):
+            return jnp.sum(trace_pallas_diff(sc, cfg, li, rays, key, sample,
+                                             interpret=True,
+                                             tile_rows=8) ** 2)
+
+        gx = jax.grad(loss_xla, allow_int=True)(scene)
+        gp = jax.grad(loss_pl, allow_int=True)(scene)
+        oi = scene.num_spheres - 1
+        # The carrier must actually fire: the occluder's gradients differ
+        # from the detached (tau=0) estimator's.
+        import dataclasses
+        cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
+
+        def loss_pl0(sc):
+            return jnp.sum(trace_pallas_diff(sc, cfg0, li, rays, key, sample,
+                                             interpret=True,
+                                             tile_rows=8) ** 2)
+
+        gp0 = jax.grad(loss_pl0, allow_int=True)(scene)
+        assert not np.allclose(np.asarray(gp.p)[oi], np.asarray(gp0.p)[oi])
+        for name in ("p", "rad", "e", "c"):
+            a = np.asarray(getattr(gx, name))
+            b = np.asarray(getattr(gp, name))
+            assert np.isfinite(b).all(), name
+            assert _max_rel(a, b) < 5e-3, (name, _max_rel(a, b))
+
+    def test_grads_match_xla_autodiff_visibility_bidirectional(self):
+        # Cornell + VPLs with the carrier on: exercises the vacuum
+        # (virtual-shadow-ray) soft adjoint too.
+        scene, cfg, li, rays, key, sample = _setup("cornell_builtin",
+                                                   vis_grad_tau=2.0)
 
         def render(sc, tracer):
             vpls = light_tracer.trace_light_paths(sc, cfg, li, key, sample)

@@ -133,7 +133,8 @@ def cmd_optimize(args) -> int:
     inv = InverseRenderer(scene=scene, cam=cam, target=target_lin,
                           cfg=cfg, width=w, height=h,
                           lr=args.lr, spp=args.spp, loss=args.loss,
-                          optimize=tuple(args.params.split(",")))
+                          optimize=tuple(args.params.split(",")),
+                          backend=args.backend)
     for i in range(args.steps):
         loss = inv.step()
         if i % 10 == 0 or i == args.steps - 1:
@@ -200,6 +201,10 @@ def main(argv=None) -> int:
                         "coverage motion carries gradient when > 0)")
     p.add_argument("--loss", choices=("l2_unbiased", "l2", "log"),
                    default="l2_unbiased")
+    p.add_argument("--backend", choices=("auto", "xla", "pallas"),
+                   default="auto",
+                   help="fwd+bwd implementation (pallas = hand-written "
+                        "fused adjoint, ~2.9x the XLA remat step on TPU)")
     p.add_argument("--out", default="optimized.scn")
     p.set_defaults(fn=cmd_optimize)
 

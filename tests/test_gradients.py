@@ -115,6 +115,27 @@ class TestInverseRendering:
         want = np.asarray(scene.c[0])
         assert np.abs(got - want).max() < 0.25, (got, want)
 
+    def test_backend_auto_resolves_and_pallas_steps(self, setup):
+        # 'auto' picks XLA off-TPU; an explicit pallas backend must run a
+        # step through the hand-written adjoint (interpret mode on CPU)
+        # and produce a finite loss — the CLI `optimize --backend` plumb.
+        scene, cam, cfg, li, key, w, h = setup
+        target_img = _render(scene, cam, cfg, li, key, w, h, spp=1)
+        inv = G.InverseRenderer(scene=scene, cam=cam, target=target_img,
+                                cfg=cfg, width=w, height=h, spp=1,
+                                optimize=("c",), resample=False)
+        assert inv.backend == "xla"
+        import dataclasses
+
+        # depth-2: interpret-mode compiles of the unrolled reverse sweep
+        # are minutes at depth 7 (see tests/test_pallas_grad.py).
+        cfg2 = dataclasses.replace(cfg, max_depth=2)
+        inv_pl = G.InverseRenderer(scene=scene, cam=cam, target=target_img,
+                                   cfg=cfg2, width=w, height=h, spp=1,
+                                   optimize=("c",), resample=False,
+                                   backend="pallas")
+        assert np.isfinite(inv_pl.step())
+
 
 class TestUnbiasedLoss:
     def test_unbiased_loss_removes_variance_bias(self, setup):

@@ -35,11 +35,12 @@ Known estimator limits (measured, see tests):
   discriminant — so an
   occluder or light position can be fitted against a shadow-dominated
   target (tests/test_visibility_grad.py). PRIMARY hit silhouettes (the
-  bounce-0 argmin hit id) carry gradient when ``cfg.sil_grad_tau > 0``
-  via the zero-primal coverage carrier `_silhouette_carrier` (applied
-  outside the tracer, so it composes with the pallas adjoint). Remaining
-  zero-gradient structure: secondary (mirror-seen/indirect) silhouettes
-  and shadow segments whose blocker straddles a segment endpoint.
+  bounce-0 argmin hit id) AND mirror-seen silhouettes (one specular
+  bounce) carry gradient when ``cfg.sil_grad_tau > 0`` via the
+  zero-primal coverage carrier `_silhouette_carrier` (applied outside
+  the tracer, so it composes with the pallas adjoint). Remaining
+  zero-gradient structure: deeper indirect silhouettes and shadow
+  segments whose blocker straddles a segment endpoint.
 """
 
 from __future__ import annotations
@@ -100,57 +101,84 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
     consumed inside stop_gradient, so the correlation with the primal's
     own depth-0 NEE cannot reach the image.
 
-    Scope: bounce-0 silhouettes only (the ones the camera sees directly);
-    mirror-seen or deeper silhouettes remain detached. Capability upgrade
-    of the sphere-editing loop at ``display_func.c:347-369``, same chain
-    as ``vis_grad_tau``.
+    Scope: bounce-0 silhouettes (the ones the camera sees directly) plus
+    ONE specular reflection — lanes whose primary hit is a perfect mirror
+    (``refl == SPEC``) apply the identical carrier to the argmin hit of
+    the reflected ray, so a sphere seen IN a mirror also carries coverage
+    gradient (on such lanes the pixel is exactly ``c_mirror * L(reflected
+    ray)``, so the same L_fg/L_bg construction applies with the
+    background estimate tinted by the mirror albedo and the depth-1 tape
+    feeding its NEE). Deeper/indirect silhouettes remain detached.
+    Capability upgrade of the sphere-editing loop at
+    ``display_func.c:347-369``, same chain as ``vis_grad_tau``.
     """
     n = o.shape[0]
     sg = jax.lax.stop_gradient
     scene0 = jax.tree_util.tree_map(sg, scene)
-
-    hit, _, hid = isect.intersect(scene0, o, d)
-    oh = jax.nn.one_hot(hid, scene.num_spheres, dtype=jnp.float32)
-    # Differentiable discriminant of the (stopped) hit sphere; the one-hot
-    # matmul routes d det into the hit rows of scene.p / scene.rad.
-    p_h = jnp.dot(oh, scene.p, preferred_element_type=jnp.float32)
-    r_h = jnp.dot(oh, scene.rad[:, None],
-                  preferred_element_type=jnp.float32)[:, 0]
-    op = p_h - o
-    b = jnp.sum(op * d, axis=-1)
-    det = b * b - jnp.sum(op * op, axis=-1) + r_h * r_h
-    width = sg(jnp.maximum(cfg.sil_grad_tau * r_h, 1e-6))
-    cov = jax.nn.sigmoid(det / width)
-
-    # ---- L_bg: value-only shading of the second-nearest hit ----
-    ts = isect.sphere_distances(scene0, o, d)
-    masked = jnp.where((ts > 0.0) & (oh < 0.5), ts, _BIG)
-    t2 = jnp.min(masked, axis=-1)
-    hid2 = jnp.argmin(masked, axis=-1).astype(jnp.int32)
-    hit2 = t2 < _BIG
-    hp2 = o + jnp.where(hit2, t2, 1.0)[:, None] * d
     from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
-    from gpu_bidirectional_raytracer_tpu.core.types import DIFF
+    from gpu_bidirectional_raytracer_tpu.core.types import DIFF, SPEC
 
-    p2, e2, c2, refl2 = isect.gather_sphere_attrs(scene0, hid2)
-    normal2 = vm.norm(hp2 - p2, eps=1e-20)
-    dp2 = vm.dot(normal2, d)
-    nl2 = vm.smul(jnp.where(dp2 > 0.0, -1.0, 1.0), normal2)
-    emit2 = cfg.emission_scale * jnp.abs(dp2)[:, None] * e2
-    if light_idx:
-        L = len(light_idx)
-        light_u = rng.site_uniforms(key, sample, 0, rng.LIGHT_UV,
-                                    2 * L, n).reshape(L, 2, n)
-        cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
-        ld2 = nee.sample_direct(scene0, cfg0, light_idx, hp2, nl2, light_u)
-    else:
-        ld2 = jnp.zeros((n, 3), dtype=jnp.float32)
-    l_bg = emit2 + jnp.where((refl2 == DIFF)[:, None], c2 * ld2, 0.0)
-    l_bg = sg(jnp.where(hit2[:, None], l_bg, 0.0))
+    def leg(o_l, d_l, active_m, tint, depth):
+        """One coverage-carrier leg along (stopped) rays ``(o_l, d_l)``.
 
-    delta = sg(rad - l_bg)
-    carrier = 2.0 * delta * (cov * hit.astype(jnp.float32))[:, None]
-    return carrier - sg(carrier)
+        ``active_m [N]``: lanes this leg applies to; ``tint [N, 3]``:
+        stopped camera-to-leg-origin throughput scaling L_bg; ``depth``
+        selects the LIGHT_UV tape row the value-only NEE reuses.
+        """
+        hit, _, hid = isect.intersect(scene0, o_l, d_l)
+        oh = jax.nn.one_hot(hid, scene.num_spheres, dtype=jnp.float32)
+        # Differentiable discriminant of the (stopped) hit sphere; the
+        # one-hot matmul routes d det into the hit rows of scene.p/rad.
+        p_h = jnp.dot(oh, scene.p, preferred_element_type=jnp.float32)
+        r_h = jnp.dot(oh, scene.rad[:, None],
+                      preferred_element_type=jnp.float32)[:, 0]
+        op = p_h - o_l
+        b = jnp.sum(op * d_l, axis=-1)
+        det = b * b - jnp.sum(op * op, axis=-1) + r_h * r_h
+        width = sg(jnp.maximum(cfg.sil_grad_tau * r_h, 1e-6))
+        cov = jax.nn.sigmoid(det / width)
+
+        # ---- L_bg: value-only shading of the second-nearest hit ----
+        ts = isect.sphere_distances(scene0, o_l, d_l)
+        masked = jnp.where((ts > 0.0) & (oh < 0.5), ts, _BIG)
+        t2 = jnp.min(masked, axis=-1)
+        hid2 = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+        hit2 = t2 < _BIG
+        hp2 = o_l + jnp.where(hit2, t2, 1.0)[:, None] * d_l
+        p2, e2, c2, refl2 = isect.gather_sphere_attrs(scene0, hid2)
+        normal2 = vm.norm(hp2 - p2, eps=1e-20)
+        dp2 = vm.dot(normal2, d_l)
+        nl2 = vm.smul(jnp.where(dp2 > 0.0, -1.0, 1.0), normal2)
+        emit2 = cfg.emission_scale * jnp.abs(dp2)[:, None] * e2
+        if light_idx:
+            L = len(light_idx)
+            light_u = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV,
+                                        2 * L, n).reshape(L, 2, n)
+            cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
+            ld2 = nee.sample_direct(scene0, cfg0, light_idx, hp2, nl2,
+                                    light_u)
+        else:
+            ld2 = jnp.zeros((n, 3), dtype=jnp.float32)
+        l_bg = emit2 + jnp.where((refl2 == DIFF)[:, None], c2 * ld2, 0.0)
+        l_bg = sg(jnp.where(hit2[:, None], l_bg, 0.0) * tint)
+
+        delta = sg(rad - l_bg)
+        carrier = 2.0 * delta * (cov * hit.astype(jnp.float32)
+                                 * active_m)[:, None]
+        return carrier - sg(carrier)
+
+    out = leg(o, d, jnp.ones((n,), jnp.float32),
+              jnp.ones((n, 3), jnp.float32), 0)
+
+    # ---- mirror leg: coverage of the sphere seen via a SPEC primary ----
+    hit0, t0, hid0 = isect.intersect(scene0, o, d)
+    p0, _, c0, refl0 = isect.gather_sphere_attrs(scene0, hid0)
+    hp0 = o + jnp.where(hit0, t0, 1.0)[:, None] * d
+    n0 = vm.norm(hp0 - p0, eps=1e-20)
+    r1 = d - 2.0 * vm.dot(n0, d)[:, None] * n0
+    spec_m = (hit0 & (refl0 == SPEC)).astype(jnp.float32)
+    out = out + leg(hp0, r1, spec_m, c0, 1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height",

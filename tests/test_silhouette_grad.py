@@ -142,6 +142,100 @@ class TestSilhouetteFdAgreement:
                                    rtol=2e-3, atol=1e-5)
 
 
+class TestMirrorSilhouette:
+    """Secondary (mirror-seen) silhouettes: the carrier's specular leg.
+
+    A diffuse sphere sits BEHIND the camera — never directly visible —
+    and appears only as a reflection in a mirror sphere. Its image
+    derivative w.r.t. its own position/radius is dominated by the motion
+    of its reflected silhouette, which the detached estimator (and the
+    bounce-0 carrier alone) cannot see.
+    """
+
+    @pytest.fixture(scope="class")
+    def msetup(self):
+        from gpu_bidirectional_raytracer_tpu.core.types import SPEC
+
+        scene = Scene(
+            rad=jnp.array([12.0, 6.0, 5.0]),
+            p=jnp.array([[0.0, 0.0, 0.0],      # mirror, faces camera
+                         [20.0, 15.0, 90.0],   # seen only in the mirror
+                         [0.0, 30.0, 80.0]]),  # light, behind camera
+            e=jnp.array([[0.0, 0.0, 0.0],
+                         [0.0, 0.0, 0.0],
+                         [30.0, 30.0, 30.0]]),
+            c=jnp.array([[0.9, 0.9, 0.9],
+                         [0.7, 0.4, 0.2],
+                         [0.0, 0.0, 0.0]]),
+            refl=jnp.array([SPEC, 0, 0], jnp.int32),
+        )
+        cam = Camera.make(jnp.array([0.0, 0.0, 60.0]),
+                          jnp.array([0.0, 0.0, 0.0]), W, H)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        wts = jax.random.uniform(jax.random.key(7), (H, W, 3))
+        return scene, cam, li, key, wts
+
+    def _mgrads(self, msetup, tau, param, idx, eps, spp=8):
+        scene, cam, li, key, wts = msetup
+        cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                  sil_grad_tau=tau)
+
+        def render_fn(sc):
+            return G.render_radiance(sc, cam, key, cfg, W, H, li, spp)
+
+        auto = jax.grad(lambda sc: jnp.sum(wts * render_fn(sc)),
+                        allow_int=True)(scene)
+        fd = float((np.asarray(wts)
+                    * G.pixel_grad_fd(scene, render_fn, param, idx,
+                                      eps)).sum())
+        return float(np.asarray(getattr(auto, param))[idx]), fd
+
+    def test_seen_sphere_not_directly_visible(self, msetup):
+        # The construction's premise: remove the mirror and the seen
+        # sphere contributes nothing to the image.
+        scene, cam, li, key, _ = msetup
+        cfg = IntegratorConfig.cpu_golden()
+        no_mirror = scene.replace(rad=scene.rad.at[0].set(1e-3))
+        img = np.asarray(G.render_radiance(no_mirror, cam, key, cfg,
+                                           W, H, li, 2))
+        moved = no_mirror.replace(p=no_mirror.p.at[1, 0].add(5.0))
+        img2 = np.asarray(G.render_radiance(moved, cam, key, cfg,
+                                            W, H, li, 2))
+        np.testing.assert_array_equal(img, img2)
+
+    def test_primal_unchanged(self, msetup):
+        scene, cam, li, key, _ = msetup
+        cfg = IntegratorConfig.cpu_golden()
+        cfg_t = dataclasses.replace(cfg, sil_grad_tau=2.0)
+        a = np.asarray(G.render_radiance(scene, cam, key, cfg, W, H, li, 2))
+        b = np.asarray(G.render_radiance(scene, cam, key, cfg_t,
+                                         W, H, li, 2))
+        np.testing.assert_array_equal(a, b)
+
+    def test_mirror_silhouette_matches_fd(self, msetup):
+        # The reflected-disc coverage term is the bulk of the radius
+        # derivative; the carrier's specular leg must close most of the
+        # gap the detached estimator leaves.
+        got_det, fd = self._mgrads(msetup, 0.0, "rad", (1,), 0.5)
+        got_sil, _ = self._mgrads(msetup, 1.0, "rad", (1,), 0.5)
+        err_det = abs(got_det - fd) / abs(fd)
+        err_sil = abs(got_sil - fd) / abs(fd)
+        assert err_det > 0.3, (got_det, fd)
+        assert err_sil < 0.3, (got_sil, fd)
+        assert err_sil < err_det / 2, (err_sil, err_det)
+
+    def test_mirror_position_gradient_improves(self, msetup):
+        # Lateral motion of the hidden sphere = its reflection sweeping
+        # across mirror pixels; the specular leg must agree with FD in
+        # sign and close most of the detached error.
+        got_det, fd = self._mgrads(msetup, 0.0, "p", (1, 0), 1.0)
+        got_sil, _ = self._mgrads(msetup, 2.0, "p", (1, 0), 1.0)
+        assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
+        assert abs(got_sil - fd) < abs(got_det - fd), (got_det, got_sil, fd)
+        assert abs(got_sil - fd) / abs(fd) < 0.35, (got_sil, fd)
+
+
 class TestSilhouetteRecovery:
     def test_position_recovery_converges(self, setup):
         # Fit the sphere's position back from a 4-unit x offset. The

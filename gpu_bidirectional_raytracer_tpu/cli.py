@@ -201,10 +201,13 @@ def main(argv=None) -> int:
                         "coverage motion carries gradient when > 0)")
     p.add_argument("--loss", choices=("l2_unbiased", "l2", "log"),
                    default="l2_unbiased")
-    p.add_argument("--backend", choices=("auto", "xla", "pallas"),
+    p.add_argument("--backend", choices=("auto", "xla", "pallas", "mxu"),
                    default="auto",
                    help="fwd+bwd implementation (pallas = hand-written "
-                        "fused adjoint, ~2.9x the XLA remat step on TPU)")
+                        "fused adjoint, ~2.9x the XLA remat step on TPU; "
+                        "mxu = matmul-formulated sphere scans, the "
+                        "differentiable many-sphere fast path that "
+                        "pallas also falls back to above 64 spheres)")
     p.add_argument("--out", default="optimized.scn")
     p.set_defaults(fn=cmd_optimize)
 

@@ -210,8 +210,11 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     with its hand-written pallas VJP (`ops.pallas_grad`): same estimator
     and tape, fwd+bwd 10.0ms vs 24.4ms at cornell 512x512 on v5e (the XLA
     path is at its remat bound), including the ``vis_grad_tau``
-    straight-through visibility carrier. Falls back to XLA above the
-    64-sphere unroll cap.
+    straight-through visibility carrier. Above the 64-sphere unroll cap it
+    falls back to ``backend='mxu'``: the XLA tracer with every sphere scan
+    in the cross-term matmul formulation (`intersect.sphere_distances
+    (method='mxu')`) whose VJP is matmuls riding the MXU — the
+    differentiable many-sphere fast path (roots agree to ~1e-3).
     """
     from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
 
@@ -219,8 +222,12 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     n = width * height
     # The hand-written pallas adjoint covers the detached-path estimator
     # AND the straight-through visibility carrier (vis_grad_tau); only the
-    # 64-sphere unroll cap still falls back to XLA.
+    # 64-sphere unroll cap still falls back to XLA — with the MXU-matmul
+    # intersection formulation (backward pass = matmuls too), the
+    # differentiable many-sphere fast path.
     use_pallas = backend == "pallas" and scene.num_spheres <= 64
+    xla_scan = ("mxu" if backend == "mxu"
+                or (backend == "pallas" and not use_pallas) else "xla")
 
     def one_sample(s, acc):
         jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)
@@ -243,7 +250,8 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
         else:
             rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
-                                    vlp_index=vlp_index, remat=True)
+                                    vlp_index=vlp_index, remat=True,
+                                    scan_backend=xla_scan)
         if cfg.sil_grad_tau > 0.0:
             rad = rad + _silhouette_carrier(scene, cfg, light_idx,
                                             rays.o, rays.d, rad, key,

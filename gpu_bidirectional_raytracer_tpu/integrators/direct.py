@@ -103,7 +103,9 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
             act_flat).reshape(length.shape)                        # [N, L]
     else:
         occluded = isect.intersect_p(
-            scene, flat_o, flat_d, flat_maxt).reshape(length.shape)
+            scene, flat_o, flat_d, flat_maxt,
+            method="mxu" if scan_backend == "mxu" else "direct",
+        ).reshape(length.shape)
 
     scale = (4.0 * jnp.pi * lrad * lrad)[None, :] * wi * wo / jnp.maximum(
         length * length, _TINY)
@@ -179,7 +181,9 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
             vacuum=True).reshape(length.shape)
     else:
         occluded = isect.intersect_p_vacuum(
-            scene, flat_o, flat_d, flat_maxt).reshape(length.shape)
+            scene, flat_o, flat_d, flat_maxt,
+            method="mxu" if scan_backend == "mxu" else "direct",
+        ).reshape(length.shape)
 
     contrib = w_rad[None, :, :] * (wi * wo)[..., None]
     mask = facing & (wi > 0.0) & jnp.logical_not(occluded) & w_valid[None, :]

@@ -80,22 +80,24 @@ def sphere_distances(scene: Scene, o: Array, d: Array,
     return jnp.where(hit, t, 0.0)
 
 
-def intersect(scene: Scene, o: Array, d: Array) -> tuple[Array, Array, Array]:
+def intersect(scene: Scene, o: Array, d: Array,
+              method: str = "direct") -> tuple[Array, Array, Array]:
     """Nearest hit: returns ``(hit [N] bool, t [N], id [N] int32)``.
 
     Mirrors ``Intersect`` (``geomfunc.h:111-132``): nearest positive distance,
-    miss when every sphere returns 0.
+    miss when every sphere returns 0. ``method`` as in `sphere_distances`.
     """
-    ts = sphere_distances(scene, o, d)
+    ts = sphere_distances(scene, o, d, method=method)
     masked = jnp.where(ts > 0.0, ts, _BIG)
     t = jnp.min(masked, axis=-1)
     idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
     return t < _BIG, t, idx
 
 
-def intersect_p(scene: Scene, o: Array, d: Array, maxt: Array) -> Array:
+def intersect_p(scene: Scene, o: Array, d: Array, maxt: Array,
+                method: str = "direct") -> Array:
     """Any-hit within ``maxt`` (``geomfunc.h:134-150``). ``maxt``: [N]."""
-    ts = sphere_distances(scene, o, d)
+    ts = sphere_distances(scene, o, d, method=method)
     return jnp.any((ts > 0.0) & (ts < maxt[:, None]), axis=-1)
 
 
@@ -119,9 +121,10 @@ def gather_sphere_attrs(scene: Scene, hit_id: Array
     return p, e, c, refl
 
 
-def intersect_p_vacuum(scene: Scene, o: Array, d: Array, maxt: Array) -> Array:
+def intersect_p_vacuum(scene: Scene, o: Array, d: Array, maxt: Array,
+                       method: str = "direct") -> Array:
     """Any-hit ignoring emissive spheres (``device.cu:141-154``)."""
-    ts = sphere_distances(scene, o, d)
+    ts = sphere_distances(scene, o, d, method=method)
     blocker = jnp.logical_not(scene.is_light())[None, :]
     return jnp.any((ts > 0.0) & (ts < maxt[:, None]) & blocker, axis=-1)
 

@@ -67,6 +67,11 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     complex.scn 512x384 v5e (ms/sample): 28.2 vs 55.0 XLA (no-VPL, 1.95x)
     and 38.0 vs 67.0 (bidirectional default, 1.76x). Forward rendering
     only (no VJP through pallas_call); same estimator and tape.
+    ``scan_backend='mxu'`` keeps XLA orchestration but switches every
+    sphere scan to `intersect.sphere_distances(method='mxu')` — the
+    cross-term matmul formulation whose VJP is matmuls too, so it is the
+    DIFFERENTIABLE many-sphere fast path (the pallas adjoint caps at 64
+    spheres). Roots agree with 'direct' to ~1e-3 absolute.
     ``scan_compact=True`` additionally partitions live lanes to the front
     each bounce so dead tiles skip wholesale — per-pixel values are
     exactly permutation-invariant (bitwise-asserted) — but on v5e the
@@ -142,7 +147,9 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             (hit, t, hit_id, obj_p, obj_e, obj_c,
              obj_refl) = pallas_scan.nearest_tiles(scene, o, d, alive)
         else:
-            hit, t, hit_id = isect.intersect(scene, o, d)
+            hit, t, hit_id = isect.intersect(
+                scene, o, d,
+                method="mxu" if scan_backend == "mxu" else "direct")
         hit_id = jax.lax.stop_gradient(hit_id)
         alive = alive & hit
         # Missed lanes carry t = 1e20; clamp so downstream dead-lane math

@@ -211,10 +211,11 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     and tape, fwd+bwd 10.0ms vs 24.4ms at cornell 512x512 on v5e (the XLA
     path is at its remat bound), including the ``vis_grad_tau``
     straight-through visibility carrier. Above the 64-sphere unroll cap it
-    falls back to ``backend='mxu'``: the XLA tracer with every sphere scan
-    in the cross-term matmul formulation (`intersect.sphere_distances
-    (method='mxu')`) whose VJP is matmuls riding the MXU — the
-    differentiable many-sphere fast path (roots agree to ~1e-3).
+    falls back to the XLA tracer. ``backend='mxu'`` (explicit opt-in)
+    reformulates every sphere scan as cross-term matmuls
+    (`intersect.sphere_distances(method='mxu')`, roots agree to ~1e-3);
+    measured a wash on v5e gradients and slower forward — see the inline
+    note below and tools/bench_mxu_grad.py.
     """
     from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
 
@@ -222,12 +223,14 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     n = width * height
     # The hand-written pallas adjoint covers the detached-path estimator
     # AND the straight-through visibility carrier (vis_grad_tau); only the
-    # 64-sphere unroll cap still falls back to XLA — with the MXU-matmul
-    # intersection formulation (backward pass = matmuls too), the
-    # differentiable many-sphere fast path.
+    # 64-sphere unroll cap still falls back to XLA. backend='mxu' swaps
+    # every sphere scan for the matmul formulation — MEASURED on v5e
+    # complex.scn 512x384 (tools/bench_mxu_grad.py): fwd 101.5 vs 66.9 ms
+    # direct, fwd+bwd 218.4 vs 221.6 — a wash on gradients, slower
+    # forward (K=3 matmuls underfeed the MXU), so the >64-sphere fallback
+    # stays on the direct formulation and 'mxu' remains an explicit opt-in.
     use_pallas = backend == "pallas" and scene.num_spheres <= 64
-    xla_scan = ("mxu" if backend == "mxu"
-                or (backend == "pallas" and not use_pallas) else "xla")
+    xla_scan = "mxu" if backend == "mxu" else "xla"
 
     def one_sample(s, acc):
         jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)

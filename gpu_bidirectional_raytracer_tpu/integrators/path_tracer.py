@@ -69,9 +69,11 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     only (no VJP through pallas_call); same estimator and tape.
     ``scan_backend='mxu'`` keeps XLA orchestration but switches every
     sphere scan to `intersect.sphere_distances(method='mxu')` — the
-    cross-term matmul formulation whose VJP is matmuls too, so it is the
-    DIFFERENTIABLE many-sphere fast path (the pallas adjoint caps at 64
-    spheres). Roots agree with 'direct' to ~1e-3 absolute.
+    cross-term matmul formulation whose VJP is matmuls too. Roots agree
+    with 'direct' to ~1e-3 absolute. Measured on v5e complex.scn 512x384
+    (tools/bench_mxu_grad.py): fwd 101.5 vs 66.9 ms/sample, fwd+bwd 218.4
+    vs 221.6 — K=3 matmuls underfeed the MXU, so this stays an explicit
+    opt-in, kept as the measured answer to "why not matmul the scans?".
     ``scan_compact=True`` additionally partitions live lanes to the front
     each bounce so dead tiles skip wholesale — per-pixel values are
     exactly permutation-invariant (bitwise-asserted) — but on v5e the

@@ -311,10 +311,14 @@ class Renderer:
         if reference_dims:
             width, height = cam_mod.reference_dims(width, height)
         if backend == "auto":
-            # The fused megakernel is ~2-3x the XLA tracer on TPU; on CPU
-            # its interpreter/Mosaic path has no advantage.
+            # The fused megakernel is ~2-3x the XLA tracer on TPU (<=64
+            # spheres), and the per-depth bounce kernel is 2.67x on
+            # complex.scn's 783 (render_pass routes by sphere count); on
+            # CPU the interpreter/Mosaic path has no advantage. Above
+            # ~1024 spheres the bounce kernel's fully unrolled scans
+            # outgrow the Mosaic scoped-VMEM budget — XLA takes over.
             backend = ("pallas" if jax.default_backend() == "tpu"
-                       and scene.num_spheres <= 64 else "xla")
+                       and scene.num_spheres <= 1024 else "xla")
         self.backend = backend
         self.tile_rows = tile_rows
         self.seed = seed

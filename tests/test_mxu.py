@@ -10,8 +10,13 @@ the 64-sphere pallas unroll cap. These tests pin:
   (``geomfunc.h:31-58`` quadratic) on random rays;
 - whole-image agreement of the 'mxu' tracer with the 'xla' tracer on the
   same tape (decision flips at knife edges allowed, energy must agree);
-- the >64-sphere fallback: ``backend='pallas'`` must produce finite
-  gradients that point the same way as the 'direct' XLA gradients.
+- many-sphere gradients: ``backend='mxu'`` must produce finite gradients
+  that point the same way as the 'direct' XLA gradients above the
+  64-sphere cap (and ``backend='pallas'`` must fall back cleanly there).
+
+Measured on v5e (tools/bench_mxu_grad.py, complex.scn 512x384): fwd+bwd
+218.4 ms/sample vs 221.6 direct (a wash), fwd 101.5 vs 66.9 (slower) —
+so 'mxu' is an explicit opt-in, not the automatic fallback.
 """
 
 import numpy as np
@@ -99,7 +104,7 @@ def _many_sphere_scene(n_spheres=80):
                  c=jnp.asarray(c), refl=jnp.asarray(refl))
 
 
-def test_many_sphere_pallas_backend_falls_back_to_mxu_gradients():
+def test_many_sphere_mxu_gradients_agree_and_pallas_falls_back():
     scene = _many_sphere_scene(80)  # above the 64-sphere pallas cap
     w, h = 16, 12
     cam = Camera.make([0, 10, 120], [0, 0, 0], w, h)
@@ -108,9 +113,13 @@ def test_many_sphere_pallas_backend_falls_back_to_mxu_gradients():
     key = jax.random.key(0)
     target = jnp.zeros((h, w, 3))
     loss_m, g_m = G.render_loss_grad(scene, cam, key, target, cfg, w, h, li,
-                                     1, backend="pallas")
+                                     1, backend="mxu")
     loss_x, g_x = G.render_loss_grad(scene, cam, key, target, cfg, w, h, li,
                                      1, backend="xla")
+    # backend='pallas' above the cap must fall back cleanly (finite loss).
+    loss_p, _ = G.render_loss_grad(scene, cam, key, target, cfg, w, h, li,
+                                   1, backend="pallas")
+    assert np.isfinite(float(loss_p))
     assert np.isfinite(float(loss_m))
     np.testing.assert_allclose(float(loss_m), float(loss_x), rtol=2e-2)
     for name in ("c", "e", "p", "rad"):

@@ -107,6 +107,38 @@ class TestRendererDriver:
         r = _simple_renderer(16, 12, reference_dims=True)
         assert (r.width, r.height) == (17, 13)
 
+    def test_auto_backend_routing(self, monkeypatch):
+        """On TPU, auto picks pallas for both kernel regimes (megakernel
+        <=64 spheres, per-depth bounce kernel 65..1024 — render_pass routes
+        by count) and XLA above the bounce kernel's unroll budget; on CPU,
+        always XLA. Validated on real v5e: complex.scn via auto renders
+        finite through ops/pallas_bounce."""
+        import jax
+
+        from gpu_bidirectional_raytracer_tpu.core.types import Scene
+        from gpu_bidirectional_raytracer_tpu.render import progressive
+
+        def scene_with(n):
+            base = builtin.cornell_box()
+            reps = (n + int(base.num_spheres) - 1) // int(base.num_spheres)
+            return Scene(
+                rad=jnp.tile(base.rad, reps)[:n],
+                p=jnp.tile(base.p, (reps, 1))[:n],
+                e=jnp.tile(base.e, (reps, 1))[:n],
+                c=jnp.tile(base.c, (reps, 1))[:n],
+                refl=jnp.tile(base.refl, reps)[:n])
+
+        def make(n):
+            return Renderer(scene_with(n), [50, 45, 200], [50, 45, 0],
+                            8, 8, backend="auto")
+
+        assert make(9).backend == "xla"  # CPU: never pallas
+        monkeypatch.setattr(progressive.jax, "default_backend",
+                            lambda: "tpu")
+        assert make(9).backend == "pallas"
+        assert make(783).backend == "pallas"
+        assert make(1500).backend == "xla"
+
     def test_state_is_checkpointable_pytree(self):
         import jax
 

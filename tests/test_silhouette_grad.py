@@ -146,20 +146,35 @@ class TestMirrorSilhouette:
     """Secondary (mirror-seen) silhouettes: the carrier's specular leg.
 
     A diffuse sphere sits BEHIND the camera — never directly visible —
-    and appears only as a reflection in a mirror sphere. Its image
-    derivative w.r.t. its own position/radius is dominated by the motion
-    of its reflected silhouette, which the detached estimator (and the
-    bounce-0 carrier alone) cannot see.
+    and appears only as a reflection in a mirror. Its image derivative
+    w.r.t. its own position/radius includes the motion of its reflected
+    silhouette, which the detached estimator (and the bounce-0 carrier
+    alone) cannot see.
+
+    Scene-design constraint (measured, see the round-2 debug history): a
+    small CONVEX mirror minifies — a sphere reflected in a rad-12 mirror
+    covered 1 pixel at 64x48, so FD saw no coverage term at all and the
+    detached estimator was accidentally "right". The fixture therefore
+    uses a near-flat mirror (rad-1000 sphere, surface through the
+    origin), which reflects the hidden sphere at ~1:1 scale across
+    dozens of pixels. Two placements are pinned, both FD-verified here:
+
+    - ``radius``: sphere rad 20 at (10,8,100) — the detached radius
+      gradient has the WRONG SIGN (-22.9 vs FD +43.0); the specular-leg
+      carrier (tau=2) restores sign and lands within 20%.
+    - ``position``: sphere rad 25 at (15,10,120) — detached x-gradient
+      err 0.10 vs FD; the carrier (tau=1) halves it.
     """
 
-    @pytest.fixture(scope="class")
-    def msetup(self):
+    def _build(self, which):
         from gpu_bidirectional_raytracer_tpu.core.types import SPEC
 
+        sp, sr = (((10.0, 8.0, 100.0), 20.0) if which == "radius"
+                  else ((15.0, 10.0, 120.0), 25.0))
         scene = Scene(
-            rad=jnp.array([12.0, 6.0, 5.0]),
-            p=jnp.array([[0.0, 0.0, 0.0],      # mirror, faces camera
-                         [20.0, 15.0, 90.0],   # seen only in the mirror
+            rad=jnp.array([1000.0, sr, 5.0]),
+            p=jnp.array([[0.0, 0.0, -1000.0],  # near-flat mirror at z~0
+                         list(sp),             # seen only in the mirror
                          [0.0, 30.0, 80.0]]),  # light, behind camera
             e=jnp.array([[0.0, 0.0, 0.0],
                          [0.0, 0.0, 0.0],
@@ -175,6 +190,10 @@ class TestMirrorSilhouette:
         key = jax.random.key(0)
         wts = jax.random.uniform(jax.random.key(7), (H, W, 3))
         return scene, cam, li, key, wts
+
+    @pytest.fixture(scope="class")
+    def msetup(self):
+        return self._build("radius")
 
     def _mgrads(self, msetup, tau, param, idx, eps, spp=8):
         scene, cam, li, key, wts = msetup
@@ -214,23 +233,26 @@ class TestMirrorSilhouette:
         np.testing.assert_array_equal(a, b)
 
     def test_mirror_silhouette_matches_fd(self, msetup):
-        # The reflected-disc coverage term is the bulk of the radius
-        # derivative; the carrier's specular leg must close most of the
-        # gap the detached estimator leaves.
-        got_det, fd = self._mgrads(msetup, 0.0, "rad", (1,), 0.5)
-        got_sil, _ = self._mgrads(msetup, 1.0, "rad", (1,), 0.5)
+        # The reflected-disc coverage term dominates the radius
+        # derivative here: the detached estimator's sign is WRONG
+        # (measured -22.9 vs FD +43.0); the specular-leg carrier must
+        # restore the sign and land close.
+        got_det, fd = self._mgrads(msetup, 0.0, "rad", (1,), 1.0)
+        got_sil, _ = self._mgrads(msetup, 2.0, "rad", (1,), 1.0)
         err_det = abs(got_det - fd) / abs(fd)
         err_sil = abs(got_sil - fd) / abs(fd)
-        assert err_det > 0.3, (got_det, fd)
+        assert np.sign(got_det) != np.sign(fd), (got_det, fd)
+        assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
+        assert err_det > 1.0, (got_det, fd)
         assert err_sil < 0.3, (got_sil, fd)
-        assert err_sil < err_det / 2, (err_sil, err_det)
 
-    def test_mirror_position_gradient_improves(self, msetup):
+    def test_mirror_position_gradient_improves(self):
         # Lateral motion of the hidden sphere = its reflection sweeping
         # across mirror pixels; the specular leg must agree with FD in
-        # sign and close most of the detached error.
-        got_det, fd = self._mgrads(msetup, 0.0, "p", (1, 0), 1.0)
-        got_sil, _ = self._mgrads(msetup, 2.0, "p", (1, 0), 1.0)
+        # sign and reduce the detached error.
+        psetup = self._build("position")
+        got_det, fd = self._mgrads(psetup, 0.0, "p", (1, 0), 2.0)
+        got_sil, _ = self._mgrads(psetup, 1.0, "p", (1, 0), 2.0)
         assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
         assert abs(got_sil - fd) < abs(got_det - fd), (got_det, got_sil, fd)
         assert abs(got_sil - fd) / abs(fd) < 0.35, (got_sil, fd)

@@ -224,7 +224,8 @@ def _camera_rays_in_kernel(cam_ref, tape_ref, tile_rows: int,
 def _bounce_step(scene_ref, vpl_ref, trow, state, *,
                  cfg: IntegratorConfig, light_idx: tuple[int, ...],
                  n_spheres: int, n_vpl: int, use_vpl: bool,
-                 direct_only: bool = False, force_unroll: bool = False):
+                 direct_only: bool = False, force_unroll: bool = False,
+                 want_aux: bool = False):
     """One bounce of the megakernel body on [R,128] state planes.
 
     ``trow(i)`` reads the i-th tape row of THIS depth. Shared verbatim by
@@ -234,6 +235,12 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
     megakernel cannot compile). ``force_unroll`` keeps the sphere scans
     unrolled past _UNROLL_CAP (right when only one depth is in the
     kernel). Semantics: device.cu:544-791 (see module docstring).
+
+    ``want_aux=True`` (the checkpointing forward of the many-sphere
+    adjoint, `ops.pallas_bounce_grad`) additionally returns
+    ``(t, best_id, hit, ok_lights..., ok_vpls...)`` f32 planes — exactly
+    the discrete/occlusion facts whose recomputation would otherwise
+    force the reverse kernel to redo every O(S) sphere scan.
     """
     f32 = jnp.float32
     L = max(len(light_idx), 1)

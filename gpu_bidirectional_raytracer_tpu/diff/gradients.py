@@ -211,7 +211,9 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     and tape, fwd+bwd 10.0ms vs 24.4ms at cornell 512x512 on v5e (the XLA
     path is at its remat bound), including the ``vis_grad_tau``
     straight-through visibility carrier. Above the 64-sphere unroll cap it
-    falls back to the XLA tracer. ``backend='mxu'`` (explicit opt-in)
+    routes to the facts+re-walk hybrid (`ops.pallas_bounce_grad`): same
+    estimator, pallas supplies the detached discrete facts, the scan-free
+    XLA re-walk carries the gradient. ``backend='mxu'`` (explicit opt-in)
     reformulates every sphere scan as cross-term matmuls
     (`intersect.sphere_distances(method='mxu')`, roots agree to ~1e-3);
     measured a wash on v5e gradients and slower forward — see the inline
@@ -222,14 +224,18 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     px, py = cam_mod.pixel_grid(width, height)
     n = width * height
     # The hand-written pallas adjoint covers the detached-path estimator
-    # AND the straight-through visibility carrier (vis_grad_tau); only the
-    # 64-sphere unroll cap still falls back to XLA. backend='mxu' swaps
-    # every sphere scan for the matmul formulation — MEASURED on v5e
-    # complex.scn 512x384 (tools/bench_mxu_grad.py): fwd 101.5 vs 66.9 ms
-    # direct, fwd+bwd 218.4 vs 221.6 — a wash on gradients, slower
-    # forward (K=3 matmuls underfeed the MXU), so the >64-sphere fallback
-    # stays on the direct formulation and 'mxu' remains an explicit opt-in.
+    # AND the straight-through visibility carrier (vis_grad_tau) up to the
+    # 64-sphere unroll cap. Above it, backend='pallas' routes to the
+    # facts+re-walk hybrid (`ops.pallas_bounce_grad.trace_bounce_diff`):
+    # pallas computes the detached discrete facts (hit ids, occlusion),
+    # the XLA re-walk carries the gradient with no O(S) scans. backend=
+    # 'mxu' swaps every sphere scan for the matmul formulation — MEASURED
+    # on v5e complex.scn 512x384 (tools/bench_mxu_grad.py): fwd 101.5 vs
+    # 66.9 ms direct, fwd+bwd 218.4 vs 221.6 — a wash on gradients, slower
+    # forward (K=3 matmuls underfeed the MXU); it remains an explicit
+    # opt-in kept as the measured answer to "why not matmul the scans?".
     use_pallas = backend == "pallas" and scene.num_spheres <= 64
+    use_bounce_diff = backend == "pallas" and scene.num_spheres > 64
     xla_scan = "mxu" if backend == "mxu" else "xla"
 
     def one_sample(s, acc):
@@ -248,6 +254,13 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
             )
 
             rad = trace_pallas_diff(scene, cfg, light_idx, rays, key,
+                                    jnp.int32(s), vpls=vpls,
+                                    vlp_index=vlp_index)
+        elif use_bounce_diff:
+            from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce_grad \
+                import trace_bounce_diff
+
+            rad = trace_bounce_diff(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
                                     vlp_index=vlp_index)
         else:

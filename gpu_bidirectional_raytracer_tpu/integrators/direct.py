@@ -49,7 +49,9 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
                   light_idx: tuple[int, ...],
                   hp: Array, nl: Array, light_u: Array,
                   scan_backend: str = "xla",
-                  active: Array | None = None) -> Array:
+                  active: Array | None = None,
+                  occ_override: Array | None = None,
+                  with_occ: bool = False):
     """Direct lighting at ``hp [N,3]`` with shading normal ``nl [N,3]``.
 
     ``light_u``: uniforms ``[L, 2, N]`` addressed by light SLOT — the
@@ -65,7 +67,8 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     """
     n = hp.shape[0]
     if not light_idx:
-        return jnp.zeros((n, 3), dtype=hp.dtype)
+        zero = jnp.zeros((n, 3), dtype=hp.dtype)
+        return (zero, jnp.zeros((n, 0), bool)) if with_occ else zero
 
     li = jnp.asarray(light_idx, dtype=jnp.int32)            # [L]
     lp = scene.p[li]                                        # [L, 3]
@@ -93,7 +96,13 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     flat_o = jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3)
     flat_d = sdir.reshape(-1, 3)
     flat_maxt = (length - EPSILON).reshape(-1)
-    if scan_backend == "pallas":
+    if occ_override is not None:
+        # Occlusion facts supplied by a prior scan (the aux-conditioned
+        # differentiable re-walk, ops.pallas_bounce_grad): occlusion is
+        # detached in the gradient estimator anyway, so skipping the O(S)
+        # shadow scan here changes nothing but the cost.
+        occluded = occ_override                                    # [N, L]
+    elif scan_backend == "pallas":
         from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
 
         act = active if active is not None else jnp.ones((n,), bool)
@@ -124,13 +133,16 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
             jnp.where((facing & (wi > 0.0))[..., None], contrib, 0.0)
         ) * soft[..., None]
         out = out + (carrier - jax.lax.stop_gradient(carrier))
-    return jnp.sum(out, axis=1)
+    result = jnp.sum(out, axis=1)
+    return (result, occluded) if with_occ else result
 
 
 def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
                 vlp_index: Array, hp: Array, nl: Array,
                 scan_backend: str = "xla",
-                active: Array | None = None) -> Array:
+                active: Array | None = None,
+                occ_override: Array | None = None,
+                with_occ: bool = False):
     """VPL gather at ``hp`` (``device.cu:507-539``), returns ``[N, 3]``.
 
     Window: depths ``0..vpl_depth`` x lanes ``vlp_index..vlp_index+max_vlp``
@@ -170,7 +182,9 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
     flat_o = jnp.broadcast_to(hp[:, None, :], sdir.shape).reshape(-1, 3)
     flat_d = sdir.reshape(-1, 3)
     flat_maxt = (length - EPSILON).reshape(-1)
-    if scan_backend == "pallas":
+    if occ_override is not None:
+        occluded = occ_override                                    # [N, K]
+    elif scan_backend == "pallas":
         from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
 
         act = (active if active is not None
@@ -198,7 +212,8 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
             jnp.where((facing & (wi > 0.0) & w_valid[None, :])[..., None],
                       contrib, 0.0)) * soft[..., None]
         out = out + (carrier - jax.lax.stop_gradient(carrier))
-    return jnp.sum(out, axis=1) / jnp.float32(k)
+    result = jnp.sum(out, axis=1) / jnp.float32(k)
+    return (result, occluded) if with_occ else result
 
 
 def sample_lights(scene: Scene, cfg: IntegratorConfig,
@@ -207,14 +222,29 @@ def sample_lights(scene: Scene, cfg: IntegratorConfig,
                   vpls: VplBuffer | None = None,
                   vlp_index: Array | None = None,
                   scan_backend: str = "xla",
-                  active: Array | None = None) -> Array:
+                  active: Array | None = None,
+                  occ_light: Array | None = None,
+                  occ_vpl: Array | None = None,
+                  with_occ: bool = False):
     """Full NEE: direct + (optionally) VPL gather with the reference's
-    ``(direct + vpl_avg) / 2`` combine (``device.cu:538-540``)."""
+    ``(direct + vpl_avg) / 2`` combine (``device.cu:538-540``).
+
+    ``occ_light [N,L]`` / ``occ_vpl [N,K]``: detached occlusion facts from
+    a prior pallas scan (the aux re-walk) — skip the O(S) shadow scans.
+    ``with_occ=True`` returns ``(radiance, occ_light, occ_vpl)`` — the
+    XLA facts collector of `path_tracer.trace(collect_aux=True)`."""
     direct = sample_direct(scene, cfg, light_idx, hp, nl, light_u,
-                           scan_backend, active)
+                           scan_backend, active, occ_override=occ_light,
+                           with_occ=with_occ)
+    if with_occ:
+        direct, got_occ_l = direct
     if not cfg.use_vpl or vpls is None:
-        return direct
+        return (direct, got_occ_l, None) if with_occ else direct
     vpl = gather_vpls(scene, cfg, vpls, vlp_index, hp, nl,
-                      scan_backend, active)
+                      scan_backend, active, occ_override=occ_vpl,
+                      with_occ=with_occ)
+    if with_occ:
+        vpl, got_occ_v = vpl
     total = direct + vpl
-    return total * 0.5 if cfg.combine_half else total
+    total = total * 0.5 if cfg.combine_half else total
+    return (total, got_occ_l, got_occ_v) if with_occ else total

@@ -101,24 +101,55 @@ def intersect_p(scene: Scene, o: Array, d: Array, maxt: Array,
     return jnp.any((ts > 0.0) & (ts < maxt[:, None]), axis=-1)
 
 
-def gather_sphere_attrs(scene: Scene, hit_id: Array
-                        ) -> tuple[Array, Array, Array, Array]:
-    """Per-lane sphere attributes ``(p, e, c, refl)`` for ``hit_id [N]``.
+def gather_sphere_attrs(scene: Scene, hit_id: Array, with_rad: bool = False):
+    """Per-lane sphere attributes ``(p, e, c, refl[, rad])`` for ``hit_id [N]``.
 
     TPU idiom: a dynamic gather of N indices from a tiny table lowers to a
     slow serial gather; a one-hot ``[N,S] @ [S,10]`` matmul rides the MXU
     instead (~12x faster at 1M lanes, measured) and its backward pass is a
     matmul too (scene-parameter gradients become ``one_hot^T @ cotangent``
     rather than a scatter-add).
+
+    ``with_rad=True`` additionally returns the hit sphere's radius — used
+    by the aux-conditioned differentiable re-walk (`path_tracer.trace` with
+    ``aux``), which re-derives the hit distance from the gathered sphere
+    instead of running the O(S) nearest-hit scan.
     """
     oh = jax.nn.one_hot(hit_id, scene.num_spheres, dtype=jnp.float32)
-    table = jnp.concatenate(
-        [scene.p, scene.e, scene.c,
-         scene.refl.astype(jnp.float32)[:, None]], axis=1)       # [S, 10]
+    cols = [scene.p, scene.e, scene.c,
+            scene.refl.astype(jnp.float32)[:, None]]
+    if with_rad:
+        cols.append(scene.rad[:, None])
+    table = jnp.concatenate(cols, axis=1)                    # [S, 10 or 11]
     vals = jnp.dot(oh, table, preferred_element_type=jnp.float32)
     p, e, c = vals[:, 0:3], vals[:, 3:6], vals[:, 6:9]
     refl = jnp.round(vals[:, 9]).astype(jnp.int32)
+    if with_rad:
+        return p, e, c, refl, vals[:, 10]
     return p, e, c, refl
+
+
+def sphere_root(o: Array, d: Array, p: Array, rad: Array,
+                eps: float = EPSILON) -> Array:
+    """Hit distance of ONE sphere per lane: ``o, d, p [N,3]``, ``rad [N]``.
+
+    The same quadratic, root choice, double-where sqrt guard, and tangency
+    clamp as `sphere_distances(method='direct')`, so given the (detached)
+    winning sphere of a nearest-hit scan this reproduces the scan's ``t``
+    bitwise — the differentiable O(N) replacement for the O(N*S) scan when
+    the hit id is already known (`path_tracer.trace` with ``aux``).
+    Returns 0 where the sphere is missed (reference encoding).
+    """
+    op = p - o
+    b = jnp.sum(op * d, axis=-1)
+    det = b * b - jnp.sum(op * op, axis=-1) + rad * rad
+    hit = det >= 0.0
+    sq = jnp.where(hit, jnp.sqrt(jnp.where(hit, jnp.maximum(det, 1e-6), 1.0)),
+                   0.0)
+    t1 = b - sq
+    t2 = b + sq
+    t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, 0.0))
+    return jnp.where(hit, t, 0.0)
 
 
 def intersect_p_vacuum(scene: Scene, o: Array, d: Array, maxt: Array,

@@ -43,7 +43,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
           direct_only: bool = False, remat: bool = False,
           lane_offset=None, lane_total: int | None = None,
           with_stats: bool = False, scan_backend: str = "xla",
-          scan_compact: bool = False) -> Array:
+          scan_compact: bool = False, aux=None,
+          collect_aux: bool = False) -> Array:
     """Trace a batch of eye rays to radiance ``[N, 3]``.
 
     ``key``/``sample`` address the random tape; the same coordinates fed to
@@ -81,6 +82,23 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     an unavoidable ~2.5ms/depth tape gather: 40.0/47.3 ms/sample), so it
     defaults OFF; kept for parts where liveness collapses faster than the
     gather cost.
+
+    ``aux`` (the many-sphere differentiable path, `ops.pallas_bounce_grad`):
+    a tuple ``(hit_id [D,N] int32 with -1 = miss, occ_light [D,N,L] bool,
+    occ_vpl [D,N,K] bool | None)`` of DETACHED discrete facts from a prior
+    pallas forward. With it, this walk runs NO O(S) sphere scans at all:
+    the hit distance is re-derived differentiably from the (gathered) hit
+    sphere alone (`intersect.sphere_root` — bitwise the scan's ``t``) and
+    occlusion is read off the masks. Since hit ids and occlusion are
+    stop-gradiented in the estimator anyway, gradients are identical to
+    the full-scan walk while fwd+bwd cost drops from O(N*S*D) to
+    O(N*(L+K)*D) elementwise + one attr-gather matmul per bounce.
+
+    ``collect_aux=True``: run the normal full-scan walk but ALSO return
+    that aux tuple — ``(radiance, aux)``. This is the pure-XLA facts
+    collector: feeding its aux back in reproduces the walk bitwise
+    (asserted by tests/test_bounce_grad.py) and serves as the fact source
+    off-TPU where interpret-mode pallas compiles are prohibitive.
 
     ``with_stats=True`` additionally returns ``(radiance, stats)`` where
     ``stats = {"extension_segments", "diffuse_vertices"}`` counts the
@@ -143,24 +161,34 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
                  draws(depth, rng.REFR_RR, 1)], axis=0)   # [R, n]
             depth_tape = rows.T[pix_id].T                 # [R, n], lane order
 
-        if scan_backend == "pallas":
-            from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
-
-            (hit, t, hit_id, obj_p, obj_e, obj_c,
-             obj_refl) = pallas_scan.nearest_tiles(scene, o, d, alive)
+        if aux is not None:
+            # Detached discrete facts from the pallas forward: no scan.
+            hit_id = jnp.maximum(aux[0][depth], 0)
+            hit = aux[0][depth] >= 0
+            obj_p, obj_e, obj_c, obj_refl, obj_rad = \
+                isect.gather_sphere_attrs(scene, hit_id, with_rad=True)
+            t = isect.sphere_root(o, d, obj_p, obj_rad)
+            alive = alive & hit
+            t = jnp.where(hit, t, 1.0)
         else:
-            hit, t, hit_id = isect.intersect(
-                scene, o, d,
-                method="mxu" if scan_backend == "mxu" else "direct")
-        hit_id = jax.lax.stop_gradient(hit_id)
-        alive = alive & hit
-        # Missed lanes carry t = 1e20; clamp so downstream dead-lane math
-        # stays finite (results are masked out, but inf*0 breeds NaNs).
-        t = jnp.where(hit, t, 1.0)
+            if scan_backend == "pallas":
+                from gpu_bidirectional_raytracer_tpu.ops import pallas_scan
 
-        if scan_backend != "pallas":
-            obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(
-                scene, hit_id)
+                (hit, t, hit_id, obj_p, obj_e, obj_c,
+                 obj_refl) = pallas_scan.nearest_tiles(scene, o, d, alive)
+            else:
+                hit, t, hit_id = isect.intersect(
+                    scene, o, d,
+                    method="mxu" if scan_backend == "mxu" else "direct")
+            hit_id = jax.lax.stop_gradient(hit_id)
+            alive = alive & hit
+            # Missed lanes carry t = 1e20; clamp so downstream dead-lane
+            # math stays finite (results are masked, but inf*0 breeds NaNs).
+            t = jnp.where(hit, t, 1.0)
+
+            if scan_backend != "pallas":
+                obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(
+                    scene, hit_id)
 
         # Reparameterized hit point: t is differentiable through the root
         # formula; the discrete hit id is stopped above.
@@ -189,7 +217,15 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
         ld = nee.sample_lights(scene, cfg, light_idx, hp, nl, light_u,
                                vpls=vpls, vlp_index=vlp_index,
                                scan_backend=scan_backend,
-                               active=alive & is_diff)
+                               active=alive & is_diff,
+                               occ_light=(None if aux is None
+                                          else aux[1][depth]),
+                               occ_vpl=(None if aux is None or aux[2] is None
+                                        else aux[2][depth]),
+                               with_occ=collect_aux)
+        if collect_aux:
+            ld, occ_l, occ_v = ld
+            aux_d = (jnp.where(hit, hit_id, -1), occ_l, occ_v)
         rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
         if with_stats:
             n_dv = n_dv + jnp.sum((alive & is_diff).astype(jnp.int32))
@@ -219,6 +255,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             out = out + (pix_id,)
         if with_stats:
             out = out + (n_ext, n_dv)
+        if collect_aux:
+            return out, aux_d
         return out
 
     state = (
@@ -234,7 +272,15 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     if with_stats:
         state = state + (jnp.int32(0),   # extension-segment counter
                          jnp.int32(0))   # diffuse-vertex (NEE) counter
-    if remat:
+    aux_stack = None
+    if collect_aux:
+        def scan_body(carry, i):
+            out, aux_d = body(i, carry)
+            return out, aux_d
+
+        state, aux_stack = jax.lax.scan(scan_body, state,
+                                        jnp.arange(cfg.max_depth))
+    elif remat:
         def scan_body(carry, i):
             return jax.checkpoint(lambda c, j: body(j, c))(carry, i), None
 
@@ -251,6 +297,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
     if with_stats:
         return rad, {"extension_segments": state[-2],
                      "diffuse_vertices": state[-1]}
+    if collect_aux:
+        return rad, aux_stack
     return rad
 
 

@@ -236,11 +236,13 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
     unrolled past _UNROLL_CAP (right when only one depth is in the
     kernel). Semantics: device.cu:544-791 (see module docstring).
 
-    ``want_aux=True`` (the checkpointing forward of the many-sphere
-    adjoint, `ops.pallas_bounce_grad`) additionally returns
-    ``(t, best_id, hit, ok_lights..., ok_vpls...)`` f32 planes — exactly
-    the discrete/occlusion facts whose recomputation would otherwise
-    force the reverse kernel to redo every O(S) sphere scan.
+    ``want_aux=True`` (the discrete-fact forward of the many-sphere
+    differentiable path, `ops.pallas_bounce_grad`) additionally returns
+    an ``aux`` tuple of f32 planes: ``(hit_id_or_-1, occ_light*L,
+    occ_vpl*V)`` — exactly the discrete facts whose recomputation would
+    otherwise force the differentiable XLA re-walk to redo every O(S)
+    sphere scan. Everything else (hit distance, attributes, shading,
+    scatter) is recomputed differentiably outside from these facts.
     """
     f32 = jnp.float32
     L = max(len(light_idx), 1)
@@ -259,6 +261,10 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
     hit = best_t < _BIG
     alive = alive & hit
     t = jnp.where(hit, best_t, 1.0)
+    aux = []
+    if want_aux:
+        # hit id with -1 encoding misses (f32 plane; ids are small ints).
+        aux.append(jnp.where(hit, best_id.astype(f32), f32(-1.0)))
 
     hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
     nx, ny, nz = _normalize(hx - opx, hy - opy, hz - opz)
@@ -302,6 +308,8 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
         occ = _occluded(scene_ref, n_spheres, hx, hy, hz,
                         sdx, sdy, sdz, slen - EPSILON, vacuum=False,
                         force_unroll=force_unroll)
+        if want_aux:
+            aux.append(occ.astype(f32))
         ok = facing & (wi > 0.0) & jnp.logical_not(occ)
         scale = (4.0 * jnp.pi * lrad * lrad) * wi * wo / (slen * slen)
         scale = jnp.where(ok, f32(cfg.light_gain) * scale, 0.0)
@@ -331,6 +339,8 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
             occ = _occluded(scene_ref, n_spheres, hx, hy, hz,
                             sdx, sdy, sdz, slen - EPSILON, vacuum=True,
                             force_unroll=force_unroll)
+            if want_aux:
+                aux.append(occ.astype(f32))
             ok = facing & (wi > 0.0) & jnp.logical_not(occ) & vvalid
             w = jnp.where(ok, wi * wo, 0.0)
             v_r = v_r + vrx * w
@@ -422,8 +432,11 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
     specular = (live & jnp.logical_not(is_diff)) | (
         jnp.logical_not(live) & specular)
 
-    return (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
-            tp_r, tp_g, tp_b, specular, alive)
+    out = (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b,
+           tp_r, tp_g, tp_b, specular, alive)
+    if want_aux:
+        return out, tuple(aux)
+    return out
 
 
 def _kernel(scene_ref, vpl_ref, tape_ref, *args,

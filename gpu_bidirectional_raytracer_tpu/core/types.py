@@ -140,12 +140,20 @@ class VplBuffer:
     rad: Array
     nl: Array
     valid: Array  # [VPL_DEPTH, LIGHT_POINTS] bool
+    # Host sphere of each deposit (env VPLs: the emitting light) — the
+    # sphere the visibility-gradient endpoint relaxation must EXCLUDE
+    # from a gather's soft-occlusion product (its chord entry IS the
+    # gather target; see intersect.soft_visibility ``exclude_id``).
+    # Optional (None): handmade buffers without ids fall back to the
+    # un-excluded product.
+    sid: Array | None = None  # [VPL_DEPTH, LIGHT_POINTS] int32
 
     @staticmethod
     def zeros(depth: int = VPL_DEPTH, n: int = LIGHT_POINTS) -> "VplBuffer":
         z = jnp.zeros((depth, n, 3), dtype=jnp.float32)
         return VplBuffer(hp=z, rad=z, nl=z,
-                         valid=jnp.zeros((depth, n), dtype=bool))
+                         valid=jnp.zeros((depth, n), dtype=bool),
+                         sid=jnp.zeros((depth, n), dtype=jnp.int32))
 
 
 @_pytree

@@ -71,7 +71,9 @@ _BIG = 1e20
 
 def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
                         light_idx: tuple[int, ...], o: Array, d: Array,
-                        rad: Array, key: Array, sample: Array) -> Array:
+                        rad: Array, key: Array, sample: Array,
+                        lane_offset=None,
+                        lane_total: int | None = None) -> Array:
     """Zero-primal straight-through primary-silhouette carrier ``[N, 3]``.
 
     The remaining zero-gradient structure after ``vis_grad_tau`` (cast
@@ -153,7 +155,9 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         if light_idx:
             L = len(light_idx)
             light_u = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV,
-                                        2 * L, n).reshape(L, 2, n)
+                                        2 * L, n, lane_offset=lane_offset,
+                                        lane_total=lane_total
+                                        ).reshape(L, 2, n)
             cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
             ld2 = nee.sample_direct(scene0, cfg0, light_idx, hp2, nl2,
                                     light_u)
@@ -219,10 +223,36 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     measured a wash on v5e gradients and slower forward — see the inline
     note below and tools/bench_mxu_grad.py.
     """
+    rad = render_radiance_lanes(scene, cam, key, cfg, width, height,
+                                light_idx, spp, backend)
+    return rad.reshape(height, width, 3)
+
+
+def render_radiance_lanes(scene: Scene, cam: Camera, key: Array,
+                          cfg: IntegratorConfig, width: int, height: int,
+                          light_idx: tuple[int, ...], spp: int = 1,
+                          backend: str = "xla", lane_offset=None,
+                          lane_count: int | None = None,
+                          lane_total: int | None = None) -> Array:
+    """Lane-windowed core of `render_radiance`: renders global lanes
+    ``[lane_offset, lane_offset + lane_count)`` of a ``lane_total``-lane
+    frame, returning ``[lane_count, 3]``. Every random draw is a window of
+    the global tape (`rng.site_uniforms`), so a banded/sharded render is
+    bitwise-equal to the monolithic one — this is the per-shard body of
+    `parallel.mesh.render_loss_grad_sharded`. ``lane_offset`` may be a
+    traced scalar (e.g. ``axis_index * shard_n`` under shard_map)."""
     from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
 
-    px, py = cam_mod.pixel_grid(width, height)
-    n = width * height
+    n_frame = width * height
+    if lane_count is None:
+        lane_offset, lane_count, lane_total = None, n_frame, None
+    n = lane_count
+    if lane_offset is None:
+        px, py = cam_mod.pixel_grid(width, height)
+    else:
+        ids = jnp.asarray(lane_offset, jnp.int32) + jnp.arange(
+            n, dtype=jnp.int32)
+        px, py = ids % width, ids // width
     # The hand-written pallas adjoint covers the detached-path estimator
     # AND the straight-through visibility carrier (vis_grad_tau) up to the
     # 64-sphere unroll cap. Above it, backend='pallas' routes to the
@@ -239,10 +269,14 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
     xla_scan = "mxu" if backend == "mxu" else "xla"
 
     def one_sample(s, acc):
-        jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)
+        jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n,
+                                   lane_offset=lane_offset,
+                                   lane_total=lane_total)
         rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
                                     px, py)
         if cfg.use_vpl and light_idx:
+            # Light subpaths are addressed by subpath id, not pixel lane:
+            # every shard traces the identical (replicated) VPL set.
             vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
                                                   key, jnp.int32(s))
             vlp_index = jnp.int32(0)
@@ -255,28 +289,36 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
 
             rad = trace_pallas_diff(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
-                                    vlp_index=vlp_index)
+                                    vlp_index=vlp_index,
+                                    lane_offset=lane_offset,
+                                    lane_total=lane_total)
         elif use_bounce_diff:
             from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce_grad \
                 import trace_bounce_diff
 
             rad = trace_bounce_diff(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
-                                    vlp_index=vlp_index)
+                                    vlp_index=vlp_index,
+                                    lane_offset=lane_offset,
+                                    lane_total=lane_total)
         else:
             rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
                                     vlp_index=vlp_index, remat=True,
-                                    scan_backend=xla_scan)
+                                    scan_backend=xla_scan,
+                                    lane_offset=lane_offset,
+                                    lane_total=lane_total)
         if cfg.sil_grad_tau > 0.0:
             rad = rad + _silhouette_carrier(scene, cfg, light_idx,
                                             rays.o, rays.d, rad, key,
-                                            jnp.int32(s))
+                                            jnp.int32(s),
+                                            lane_offset=lane_offset,
+                                            lane_total=lane_total)
         return acc + rad
 
     acc = jax.lax.fori_loop(
-        0, spp, one_sample, jnp.zeros((width * height, 3), dtype=jnp.float32))
-    return (acc / spp).reshape(height, width, 3)
+        0, spp, one_sample, jnp.zeros((n, 3), dtype=jnp.float32))
+    return acc / spp
 
 
 def l2_loss(img: Array, target: Array) -> Array:

@@ -88,6 +88,7 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
     rad_out = jnp.zeros_like(hp_out)
     nl_out = jnp.zeros_like(hp_out)
     valid_out = jnp.zeros((cfg.vpl_depth, n), dtype=bool)
+    sid_out = jnp.zeros((cfg.vpl_depth, n), dtype=jnp.int32)
 
     # vpl_depth is small (1 by default) — unrolled python loop keeps the
     # per-depth deposit rows statically indexed.
@@ -124,11 +125,17 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
         slot_nl = jnp.where(env_mask[:, None], env_nl,
                             jnp.where(deposit_mask[:, None], nl, 0.0))
         slot_valid = env_mask | deposit_mask
+        # Host sphere id: the deposit surface (env VPLs sit on their
+        # emitting light) — consumed by the visibility-gradient endpoint
+        # exclusion (gather_vpls / intersect.soft_visibility).
+        slot_sid = jnp.where(env_mask, lane_light,
+                             jnp.where(deposit_mask, hit_id, 0))
 
         hp_out = hp_out.at[depth].set(slot_hp)
         rad_out = rad_out.at[depth].set(slot_rad)
         nl_out = nl_out.at[depth].set(slot_nl)
         valid_out = valid_out.at[depth].set(slot_valid)
+        sid_out = sid_out.at[depth].set(slot_sid)
 
         # Continue the walk (only matters when vpl_depth > 1).
         alive = alive & hit & jnp.logical_not(is_emitter)
@@ -141,16 +148,19 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
         # Throughput-kill replaces VecMultiply's freeze (device.cu:10-42).
         alive = alive & (vm.max_component(throughput) > cfg.throughput_tol)
 
-    return VplBuffer(hp=hp_out, rad=rad_out, nl=nl_out, valid=valid_out)
+    return VplBuffer(hp=hp_out, rad=rad_out, nl=nl_out, valid=valid_out,
+                     sid=sid_out)
 
 
 def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
-                  vpls: VplBuffer, width: int, height: int
+                  vpls: VplBuffer, width: int, height: int,
+                  light_idx: tuple[int, ...] = ()
                   ) -> tuple[Array, Array]:
     """Light-trace-to-film splatting: the living counterpart of
     ``RadianceLightTracing``'s eye connection + ``SamplePixels``
     (``geomfunc.h:357-365, 216-299`` — the reference's splatting body is
-    entirely commented out; this is the documented intent, batched).
+    entirely commented out; this implements the documented intent with a
+    radiometrically CORRECT estimator, derived below).
 
     Per deposited light vertex:
 
@@ -166,20 +176,62 @@ def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
       camera. We use the exact film extents (camera.FILM_W/H), so a splat
       lands precisely on the pixel whose primary ray passes through the
       vertex.
-    - **contribution**: ``Ld = pi * rad`` (SamplePixels' ``test == 0``
-      branch folds ``pi * throughput`` into the carried radiance; our
-      `VplBuffer.rad` already is emission x throughput).
+    - **contribution — the splat-weight derivation.** The dead reference
+      code's ``Ld = pi * rad`` splatted into a per-pixel running mean
+      cannot converge to the eye-traced image: dividing by the number of
+      splats landing in a pixel erases the splat DENSITY, which is where
+      light tracing carries the ``wi*wo/d^2`` geometry (the round-2 splat
+      mode inherited exactly this defect — it rendered a lit-area albedo
+      map). The correct per-splat weight equates the two estimators'
+      expectations. Eye side (reference conventions, depth-0 diffuse
+      direct light, `integrators/direct.py`):
+      ``L_eye = c(x) * e * light_gain * 4 pi r^2 * E_y[wi wo V / d^2]``.
+      Light side: ``y`` uniform on the light sphere (pdf ``1/(4 pi
+      r^2)``), emission direction cosine-sampled (pdf ``wo / pi``), so
+      the induced surface density at the first hit ``x`` is
+      ``(wo/pi) * wi * V / d^2`` and the deposited ``rad = (e/4) c(x)``
+      (``device.cu:268, 317``). A pixel's surface footprint at ``x`` is
+      ``A_p = a_f * cos^3(theta) * D^2 / (f^2 * cos(theta_s))`` with
+      ``a_f`` the film-plane pixel area, ``f = FILM_KZ``, ``theta`` the
+      angle to the camera axis (``cos = tz/D``), ``theta_s`` the surface
+      tilt (``|nl . dir_to_cam|``). Equating
+      ``E[(1/N_l) sum_splats w * rad] = L_eye`` over the pixel gives
 
-    Returns ``(color_sum [H,W,3], count [H,W])`` — additive film
-    contributions; the caller folds them into its progressive mean
-    (`render.progressive.light_splat_pass`).
+          w = light_gain * 16 pi^2 r^2 / A_p
+            = light_gain * 16 pi^2 r^2 f^2 cos(theta_s) * D / (a_f tz^3)
+
+      per splat, with ``r`` the ORIGINATING light's radius (lanes are
+      round-robined over ``light_idx``, matching `emit_light_rays`) and
+      the caller dividing the film SUM by the per-light lane count
+      ``N / L`` (`render.progressive.light_splat_pass`) — a sum-over-
+      paths estimator, not a mean-over-splats. Deeper deposits
+      (``vpl_depth > 1``) chain albedo and cosine sampling identically on
+      both sides, so the same weight stays unbiased for indirect light.
+      Convergence to the eye-traced direct image is asserted
+      statistically in tests/test_splat.py::TestRadiometry. Escaped-lane
+      "environment" VPLs (``device.cu:279-293``) paint the emitter's own
+      disc with ``e/2``; the emitter disc therefore follows the
+      reference's env-VPL convention, not the eye tracer's ``e |dp|``
+      emitter shading — excluded from the radiometric comparison.
+
+    Returns ``(color_sum [H,W,3], count [H,W])`` — ``color_sum`` is the
+    weighted SUM of splat contributions (the caller normalizes by paths
+    per light), ``count`` the raw splat count (diagnostics/tests).
     """
     from gpu_bidirectional_raytracer_tpu.camera import FILM_H, FILM_KZ, FILM_W
     from gpu_bidirectional_raytracer_tpu.core.types import EPSILON
 
     hp = vpls.hp.reshape(-1, 3)                              # [K, 3]
     rad = vpls.rad.reshape(-1, 3)
+    nl_flat = vpls.nl.reshape(-1, 3)
     valid = vpls.valid.reshape(-1)
+    n_lanes = vpls.hp.shape[1]
+    if light_idx:
+        li = jnp.asarray(light_idx, dtype=jnp.int32)
+        lane_lrad = scene.rad[li[jnp.arange(n_lanes) % len(light_idx)]]
+    else:
+        lane_lrad = jnp.ones((n_lanes,), jnp.float32)
+    lrad = jnp.tile(lane_lrad, vpls.hp.shape[0])             # [K]
 
     x_hat, y_hat, d_hat = vm.norm(cam.x), vm.norm(cam.y), vm.norm(cam.dir)
     v = hp - cam.orig[None, :]
@@ -204,7 +256,13 @@ def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
     occluded = isect.intersect_p(scene, orig_b, dunit, dist - EPSILON)
 
     mask = valid & front & in_bounds & jnp.logical_not(occluded)
-    ld = jnp.where(mask[:, None], jnp.pi * rad, 0.0)
+    # Per-splat importance weight (docstring derivation).
+    a_f = (FILM_W / width) * (FILM_H / height)
+    cos_s = jnp.abs(jnp.sum(nl_flat * (-dunit), axis=-1))
+    safe_tz3 = jnp.where(front, tz, 1.0) ** 3
+    w = (cfg.light_gain * 16.0 * jnp.pi ** 2 * lrad * lrad
+         * FILM_KZ * FILM_KZ * cos_s * dist / (a_f * safe_tz3))
+    ld = jnp.where(mask[:, None], w[:, None] * rad, 0.0)
     pix = jnp.where(mask, pixy * width + pixx, 0)
 
     color_sum = jnp.zeros((height * width, 3), jnp.float32

@@ -48,7 +48,7 @@ def state_shardings(mesh: Mesh, axis: str = RAYS_AXIS) -> RenderState:
     return RenderState(
         colors=row,
         counter=row,
-        vpls=VplBuffer(hp=rep, rad=rep, nl=rep, valid=rep),
+        vpls=VplBuffer(hp=rep, rad=rep, nl=rep, valid=rep, sid=rep),
         vlp_index=rep,
         sample=rep,
         key=rep,
@@ -109,6 +109,74 @@ def trace_pallas_sharded(scene, cfg, light_idx, rays, key, sample,
         out_specs=P(axis),
         check_vma=False,
     )(scene, rays, key, sample, vpls, vlp_index)
+
+
+def render_loss_grad_sharded(scene, cam, key, target, cfg, width: int,
+                             height: int, light_idx, spp: int,
+                             mesh: Mesh, loss: str = "l2",
+                             backend: str = "pallas",
+                             axis: str = RAYS_AXIS):
+    """The REAL training step under sharding: per-shard differentiable
+    render (`diff.gradients.render_radiance_lanes`, each shard drawing its
+    ``lane_offset`` window of the global tape) + loss + `jax.grad`, with
+    one `psum` of the scene-parameter cotangents over the mesh.
+
+    This is the pod deployment path for the flagship fwd+bwd step
+    INCLUDING the hand-written pallas custom_vjp adjoint
+    (``backend='pallas'``, `ops.pallas_grad`) — the composition
+    custom_vjp x shard_map x lane-windowed tapes that plain GSPMD cannot
+    partition through a `pallas_call`. Per-lane radiance is bitwise-equal
+    to the single-device render (tape windows); the scene-gradient psum
+    differs from the monolithic reduction only by float summation order
+    (asserted to tight tolerance in tests/test_parallel.py).
+
+    Returns ``(loss, grads)`` replicated, matching
+    `diff.gradients.render_loss_grad` semantics for ``loss='l2'``/'log'.
+    """
+    from jax import shard_map
+
+    from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+
+    n = width * height
+    if n % mesh.size:
+        raise ValueError(f"pixel count {n} not divisible by mesh size "
+                         f"{mesh.size}; pad the frame")
+    shard_n = n // mesh.size
+    loss_f = {"l2": G.l2_loss, "log": G.log_loss}[loss]
+
+    def local(scene, key, target_shard):
+        off = jax.lax.axis_index(axis) * shard_n
+
+        # Differentiate the FLOAT leaves only (grad over the int-carrying
+        # Scene pytree trips shard_map's tracer on the float0 path).
+        def loss_fn(params):
+            sc = scene.replace(p=params[0], rad=params[1], c=params[2],
+                               e=params[3])
+            rad = G.render_radiance_lanes(
+                sc, cam, key, cfg, width, height, light_idx, spp,
+                backend, lane_offset=off, lane_count=shard_n,
+                lane_total=n)
+            # Per-shard mean over its lanes == global mean once psum'd
+            # with equal shard sizes (divide by mesh size below).
+            return loss_f(rad, target_shard.reshape(shard_n, 3))
+
+        val, g = jax.value_and_grad(loss_fn)(
+            (scene.p, scene.rad, scene.c, scene.e))
+        # Global loss = mean of the equal-sized shard means; its gradient
+        # is the shard-gradient mean.
+        val = jax.lax.psum(val, axis) / mesh.size
+        g = jax.tree.map(lambda x: jax.lax.psum(x, axis) / mesh.size, g)
+        grads = scene.replace(p=g[0], rad=g[1], c=g[2], e=g[3],
+                              refl=jnp.zeros_like(scene.refl))
+        return val, grads
+
+    rep = P()
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, P(axis)),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )(scene, key, target.reshape(n, 3))
 
 
 def trace_pallas_bounce_sharded(scene, cfg, light_idx, rays, key, sample,

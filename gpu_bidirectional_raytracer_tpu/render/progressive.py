@@ -168,22 +168,23 @@ def light_splat_pass(scene: Scene, cam: Camera, state: RenderState,
     """One light-tracing pass splatted onto the film: the living
     ``RadianceLightTracing`` integrator mode (`light_tracer.splat_to_film`
     — the reference's own splatting body is dead code). Each pass traces
-    `cfg.light_points` fresh light subpaths and folds their eye-visible
-    vertices into the per-pixel running mean; pixels receive different
-    sample counts per pass (unlike the eye integrators' one-per-pixel),
-    which the mean-update handles per pixel. Pure; same RenderState."""
+    `cfg.light_points` fresh light subpaths; the pass's film estimate is
+    the importance-weighted splat SUM divided by the per-light lane count
+    (the unbiased light-tracing estimator — see splat_to_film's weight
+    derivation; a pixel receiving no splats this pass legitimately
+    sampled 0), folded into a per-PASS running mean like the eye
+    integrators. Pure; same RenderState."""
     vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
                                           state.key, state.sample)
     add_c, add_n = light_tracer.splat_to_film(scene, cam, cfg, vpls,
-                                              width, height)
+                                              width, height, light_idx)
+    n_per_light = cfg.light_points // max(len(light_idx), 1)
+    frame = add_c / jnp.float32(max(n_per_light, 1))
     k = state.counter.astype(jnp.float32)[..., None]
-    n_new = add_n.astype(jnp.float32)[..., None]
-    total = k + n_new
-    updated = (state.colors * k + add_c) / jnp.maximum(total, 1.0)
-    colors = jnp.where(n_new > 0, updated, state.colors)
+    colors = (state.colors * k + frame) / (k + 1.0)
     return RenderState(
         colors=colors,
-        counter=state.counter + add_n,
+        counter=state.counter + 1,
         vpls=vpls,
         vlp_index=state.vlp_index,
         sample=state.sample + 1,

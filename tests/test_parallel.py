@@ -179,3 +179,48 @@ class TestPallasUnderSharding:
                                        static_light_indices(scene), rays,
                                        jax.random.key(0), jnp.int32(0), m,
                                        interpret=True)
+
+
+class TestShardedTrainingStep:
+    """The REAL training step under sharding (VERDICT r2 #3): the pallas
+    custom_vjp adjoint + GSPMD-free shard_map + lane-windowed tapes —
+    `parallel.mesh.render_loss_grad_sharded` must reproduce the
+    single-device `render_loss_grad(backend='pallas')` (same per-lane
+    tape values by the window contract; scene-gradient sums differ only
+    by psum association order)."""
+
+    def test_pallas_step_matches_single_device(self, eight_devices):
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.core.types import Camera
+        from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+
+        scene = builtin.cornell_box()
+        w, h = 16, 16
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        # Bidirectional + the visibility carrier: the flagship config.
+        # max_depth=2 keeps the interpret-mode adjoint compile bounded.
+        cfg = dataclasses.replace(IntegratorConfig(), vis_grad_tau=2.0,
+                                  max_depth=2)
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+
+        li = static_light_indices(scene)
+        key = jax.random.key(3)
+        target = jnp.zeros((h, w, 3))
+
+        l1, g1 = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                    li, 1, backend="pallas")
+        m = pmesh.make_mesh(eight_devices)
+        l8, g8 = pmesh.render_loss_grad_sharded(
+            scene, cam, key, target, cfg, w, h, li, 1, m,
+            backend="pallas")
+        assert abs(float(l1) - float(l8)) < 1e-5
+        for f in ("p", "rad", "c", "e"):
+            a = np.asarray(getattr(g1, f))
+            b = np.asarray(getattr(g8, f))
+            scale = max(np.abs(a).max(), 1e-12)
+            np.testing.assert_allclose(b, a, rtol=1e-4,
+                                       atol=1e-4 * scale, err_msg=f)

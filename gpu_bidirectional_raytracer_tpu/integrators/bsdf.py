@@ -40,12 +40,19 @@ def _safe_sqrt(x: Array) -> Array:
 
 
 def scatter(refl: Array, albedo: Array, d: Array, normal: Array, nl: Array,
-            u_diff1: Array, u_diff2: Array, u_rr: Array) -> Scatter:
+            u_diff1: Array, u_diff2: Array, u_rr: Array,
+            with_bits: bool = False):
     """One material interaction for every lane.
 
     ``refl [N]`` material codes; ``albedo [N,3]``; ``d [N,3]`` incoming unit
     direction; ``normal`` geometric unit normal; ``nl`` shading normal
     (flipped toward the incoming side); uniforms as documented in `rng`.
+
+    ``with_bits=True`` additionally returns an ``[N] int32`` bitmask of
+    the DISCRETE branch choices (bit0 = total internal reflection, bit1 =
+    Fresnel-RR took reflection) — the remaining per-bounce decisions a
+    cross-backend flip census must observe next to hit ids and occlusion
+    (tools/northstar.py --leg classify).
     """
     # -- DIFF: cosine-weighted hemisphere about nl (geomfunc.h:546-571)
     diff_dir = cosine_hemisphere(nl, u_diff1, u_diff2)
@@ -81,4 +88,8 @@ def scatter(refl: Array, albedo: Array, d: Array, normal: Array, nl: Array,
     new_d = jnp.where(is_diff, diff_dir, jnp.where(is_spec, spec_dir, refr_dir))
     tp_mul = albedo * jnp.where(is_diff | is_spec, 1.0, rr_w[:, None])
     specular = refl != DIFF
-    return Scatter(new_d=new_d, tp_mul=tp_mul, specular=specular)
+    sc = Scatter(new_d=new_d, tp_mul=tp_mul, specular=specular)
+    if with_bits:
+        bits = tir.astype(jnp.int32) | (take_refl.astype(jnp.int32) << 1)
+        return sc, bits
+    return sc

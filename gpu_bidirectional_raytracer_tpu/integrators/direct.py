@@ -68,7 +68,8 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
     n = hp.shape[0]
     if not light_idx:
         zero = jnp.zeros((n, 3), dtype=hp.dtype)
-        return (zero, jnp.zeros((n, 0), bool)) if with_occ else zero
+        none = jnp.zeros((n, 0), bool)
+        return (zero, none, none) if with_occ else zero
 
     li = jnp.asarray(light_idx, dtype=jnp.int32)            # [L]
     lp = scene.p[li]                                        # [L, 3]
@@ -126,15 +127,18 @@ def sample_direct(scene: Scene, cfg: IntegratorConfig,
         # (x - stop_grad(x) is exactly 0.0) whose linearization is
         # stop_grad(contrib) * d(soft visibility) — the hard expression
         # above is untouched, so images are unchanged.
+        # exclude_id: the sampled TARGET light per column (see
+        # soft_visibility — its chord entry is the sample point).
+        ex = jnp.broadcast_to(li[None, :], length.shape).reshape(-1)
         soft = isect.soft_visibility(
             scene, flat_o, flat_d, flat_maxt,
-            cfg.vis_grad_tau).reshape(length.shape)
+            cfg.vis_grad_tau, exclude_id=ex).reshape(length.shape)
         carrier = jax.lax.stop_gradient(
             jnp.where((facing & (wi > 0.0))[..., None], contrib, 0.0)
         ) * soft[..., None]
         out = out + (carrier - jax.lax.stop_gradient(carrier))
     result = jnp.sum(out, axis=1)
-    return (result, occluded) if with_occ else result
+    return (result, occluded, contrib_mask) if with_occ else result
 
 
 def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
@@ -205,15 +209,21 @@ def gather_vpls(scene: Scene, cfg: IntegratorConfig, vpls: VplBuffer,
     if cfg.vis_grad_tau > 0.0:
         # Straight-through virtual-shadow-ray visibility: zero-primal
         # carrier, same construction as sample_direct.
+        ex = None
+        if vpls.sid is not None:
+            # exclude each gather's host sphere (see soft_visibility).
+            w_sid = vpls.sid[:d_, lanes].reshape(-1)                # [K]
+            ex = jnp.broadcast_to(w_sid[None, :],
+                                  length.shape).reshape(-1)
         soft = isect.soft_visibility(
             scene, flat_o, flat_d, flat_maxt, cfg.vis_grad_tau,
-            vacuum=True).reshape(length.shape)
+            vacuum=True, exclude_id=ex).reshape(length.shape)
         carrier = jax.lax.stop_gradient(
             jnp.where((facing & (wi > 0.0) & w_valid[None, :])[..., None],
                       contrib, 0.0)) * soft[..., None]
         out = out + (carrier - jax.lax.stop_gradient(carrier))
     result = jnp.sum(out, axis=1) / jnp.float32(k)
-    return (result, occluded) if with_occ else result
+    return (result, occluded, mask) if with_occ else result
 
 
 def sample_lights(scene: Scene, cfg: IntegratorConfig,
@@ -231,20 +241,23 @@ def sample_lights(scene: Scene, cfg: IntegratorConfig,
 
     ``occ_light [N,L]`` / ``occ_vpl [N,K]``: detached occlusion facts from
     a prior pallas scan (the aux re-walk) — skip the O(S) shadow scans.
-    ``with_occ=True`` returns ``(radiance, occ_light, occ_vpl)`` — the
-    XLA facts collector of `path_tracer.trace(collect_aux=True)`."""
+    ``with_occ=True`` returns ``(radiance, occ_light, occ_vpl, ok_light)``
+    — the XLA facts collector of `path_tracer.trace(collect_aux=True)`;
+    ``ok_light`` is the FULL per-light contribution gate (facing & wi>0 &
+    unoccluded), the extra decision bits the cross-backend flip census
+    needs."""
     direct = sample_direct(scene, cfg, light_idx, hp, nl, light_u,
                            scan_backend, active, occ_override=occ_light,
                            with_occ=with_occ)
     if with_occ:
-        direct, got_occ_l = direct
+        direct, got_occ_l, got_ok_l = direct
     if not cfg.use_vpl or vpls is None:
-        return (direct, got_occ_l, None) if with_occ else direct
+        return (direct, got_occ_l, None, got_ok_l) if with_occ else direct
     vpl = gather_vpls(scene, cfg, vpls, vlp_index, hp, nl,
                       scan_backend, active, occ_override=occ_vpl,
                       with_occ=with_occ)
     if with_occ:
-        vpl, got_occ_v = vpl
+        vpl, got_occ_v, _ = vpl
     total = direct + vpl
     total = total * 0.5 if cfg.combine_half else total
-    return (total, got_occ_l, got_occ_v) if with_occ else total
+    return (total, got_occ_l, got_occ_v, got_ok_l) if with_occ else total

@@ -147,6 +147,7 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             n_ext = n_ext + jnp.sum(alive.astype(jnp.int32))
         else:
             o, d, rad, throughput, specular, alive, *rest = state
+        alive_entry = alive
         depth_tape = None
         if compact:
             (o, d, rad, throughput, specular, alive,
@@ -187,8 +188,34 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             t = jnp.where(hit, t, 1.0)
 
             if scan_backend != "pallas":
-                obj_p, obj_e, obj_c, obj_refl = isect.gather_sphere_attrs(
-                    scene, hit_id)
+                if collect_aux:
+                    obj_p, obj_e, obj_c, obj_refl, obj_rad = \
+                        isect.gather_sphere_attrs(scene, hit_id,
+                                                  with_rad=True)
+                    # Root-choice census bit: whether the hit used the
+                    # near root (t1 > EPSILON) — flips swap entry/exit
+                    # (a huge t change) with IDENTICAL hit ids, so the
+                    # cross-backend flip census must observe it (the
+                    # giant wall spheres put the camera INSIDE, where t1
+                    # sits at the EPSILON knife edge).
+                    op_c = obj_p - o
+                    b_c = jnp.sum(op_c * d, axis=-1)
+                    det_c = (b_c * b_c - jnp.sum(op_c * op_c, axis=-1)
+                             + obj_rad * obj_rad)
+                    pos_c = det_c > 0.0
+                    sq_c = jnp.where(
+                        pos_c,
+                        jnp.sqrt(jnp.where(pos_c,
+                                           jnp.maximum(det_c, 1e-6), 1.0)),
+                        0.0)
+                    from gpu_bidirectional_raytracer_tpu.core.types import (
+                        EPSILON,
+                    )
+
+                    use1_bit = (b_c - sq_c) > EPSILON
+                else:
+                    obj_p, obj_e, obj_c, obj_refl = \
+                        isect.gather_sphere_attrs(scene, hit_id)
 
         # Reparameterized hit point: t is differentiable through the root
         # formula; the discrete hit id is stopped above.
@@ -224,8 +251,8 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
                                         else aux[2][depth]),
                                with_occ=collect_aux)
         if collect_aux:
-            ld, occ_l, occ_v = ld
-            aux_d = (jnp.where(hit, hit_id, -1), occ_l, occ_v)
+            ld, occ_l, occ_v, ok_l = ld
+            nee_mask = alive & is_diff  # before direct_only kills lanes
         rad = rad + jnp.where((alive & is_diff)[:, None], tp_after_diff * ld, 0.0)
         if with_stats:
             n_dv = n_dv + jnp.sum((alive & is_diff).astype(jnp.int32))
@@ -243,7 +270,25 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             diff_u = draws(depth, rng.DIFF_UV, 2)
             rr_u = draws(depth, rng.REFR_RR, 1)[0]
         sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl,
-                          diff_u[0], diff_u[1], rr_u)
+                          diff_u[0], diff_u[1], rr_u,
+                          with_bits=collect_aux)
+        if collect_aux:
+            # aux entries 0-2 are the re-walk contract (`aux=` above);
+            # 3-4 (NEE contribution gates, Fresnel branch bits) are the
+            # extra decisions the cross-backend flip census observes
+            # (tools/northstar.py --leg classify) — ignored by the
+            # re-walk.
+            # Aliveness masks keep dead-lane garbage from registering as
+            # decision flips in the census (stale rays keep intersecting
+            # deterministically-but-irrelevantly).
+            sc, sc_bits = sc
+            live_hit = alive_entry & hit
+            aux_d = (jnp.where(live_hit, hit_id, -1),
+                     occ_l & nee_mask[:, None],
+                     None if occ_v is None else occ_v & nee_mask[:, None],
+                     ok_l & nee_mask[:, None],
+                     jnp.where(alive, sc_bits, -1),
+                     jnp.where(live_hit, use1_bit.astype(jnp.int32), -1))
 
         live = alive[:, None]
         o = jnp.where(live, hp, o)

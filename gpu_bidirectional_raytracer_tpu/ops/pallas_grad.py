@@ -169,18 +169,21 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
     # intersect.soft_visibility): zero-primal, so the FORWARD recompute is
     # untouched; the reverse sweep additionally routes
     # stop(contrib) * d(soft) into blocker p/rad and the shadow-segment
-    # endpoints. Division-free identity used below: with
-    # soft = prod_s (1 - edge_s * gate_s) and gate hard,
-    #   d soft / d det_s = -gate_s * edge_s * soft / width_s
-    # (the (1 - edge_s) factor of sigma' cancels against soft's own
-    # factor_s when gate_s = 1, and both sides are 0 when gate_s = 0).
+    # endpoints. Round 3 mirrors soft_visibility's TWO-SIDED endpoint:
+    # blocked_s = edge_s * endpoint_s * hard(b > eps) with
+    # edge = sigma(det/w) and endpoint = sigma((maxt - t1)/w),
+    # t1 = b - sqrt(det). The product rule needs the leave-one-out
+    # factor soft / (1 - blocked_s); the division is guarded — when
+    # 1 - blocked ~ 0 both sigmoids are saturated and their derivatives
+    # vanish faster than the quotient grows.
     vis = cfg.vis_grad_tau > 0.0
 
     def sph(s, k):
         return scene_ref[s, k]
 
-    def vis_edge_gate(s, ox_, oy_, oz_, sdx, sdy, sdz, maxt):
-        """(edge, gate, width, b, op) of blocker ``s`` for one shadow ray."""
+    def vis_terms(s, ox_, oy_, oz_, sdx, sdy, sdz, maxt):
+        """Blocker ``s`` pieces for one shadow ray: ``(edge, gate_b,
+        endp, width, b, det, op)`` with blocked = edge*endp*gate_b."""
         opx_s = sph(s, 1) - ox_
         opy_s = sph(s, 2) - oy_
         opz_s = sph(s, 3) - oz_
@@ -189,8 +192,40 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                  + sph(s, 0) * sph(s, 0))
         width = jnp.maximum(f32(cfg.vis_grad_tau) * sph(s, 0), f32(1e-6))
         edge = 1.0 / (1.0 + jnp.exp(-det_s / width))
-        gate = _f32m((b_s > EPSILON) & (b_s < maxt))
-        return edge, gate, width, b_s, (opx_s, opy_s, opz_s)
+        t1 = b_s - jnp.sqrt(jnp.maximum(det_s, f32(1e-6)))
+        # Endpoint width = tau scene units (length-space event; see
+        # intersect.soft_visibility).
+        endp = 1.0 / (1.0 + jnp.exp(
+            -(maxt - t1) / f32(max(cfg.vis_grad_tau, 1e-6))))
+        gate_b = _f32m(b_s > EPSILON)
+        return edge, gate_b, endp, width, b_s, det_s, (opx_s, opy_s, opz_s)
+
+    def vis_blocker_adj(bsoft, soft, edge, gate, endp, width, b_s, det_s,
+                        op_s, sdx, sdy, sdz):
+        """Adjoint of ``soft`` w.r.t. one blocker's pieces.
+
+        ``gate`` folds every hard factor (b > eps, vacuum nonlite).
+        Returns per-lane ``(bdet-routed bop/bsd/bhp pieces)`` as
+        ``(bop_x, bop_y, bop_z, bsd_dx, bsd_dy, bsd_dz, brad, bmaxt)``
+        where the caller accumulates bhp -= bop, bsd += bsd_d.
+        """
+        opx_s, opy_s, opz_s = op_s
+        E = edge * gate
+        blocked = E * endp
+        denom = 1.0 - blocked
+        so = bsoft * jnp.where(denom > 1e-6, soft / denom, 0.0)
+        gd = endp * (1.0 - endp) / f32(max(cfg.vis_grad_tau, 1e-6))
+        dsq = _safe_inv_sqrt_grad(det_s)
+        bdet = -so * (gate * edge * (1.0 - edge) / width * endp
+                      + E * gd * dsq)
+        bb = so * E * gd          # via z = maxt - b + sqrt(det)
+        bmaxt = -so * E * gd
+        bb_t = 2.0 * b_s * bdet + bb
+        bop_x = bb_t * sdx - 2.0 * opx_s * bdet
+        bop_y = bb_t * sdy - 2.0 * opy_s * bdet
+        bop_z = bb_t * sdz - 2.0 * opz_s * bdet
+        return (bop_x, bop_y, bop_z, bb_t * opx_s, bb_t * opy_s,
+                bb_t * opz_s, 2.0 * bdet, bmaxt)
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -524,10 +559,13 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
                                       sph(s, 0), hx, hy, hz, sdx, sdy, sdz)
                 occ = occ | ((ts > 0.0) & (ts < maxt))
-                if vis:
-                    edge, gate, _, _, _ = vis_edge_gate(
+                # s == lig: the target light's chord entry IS the sample
+                # point — excluded from the soft product (see
+                # intersect.soft_visibility exclude_id).
+                if vis and s != lig:
+                    edge, gate_b, endp, _, _, _, _ = vis_terms(
                         s, hx, hy, hz, sdx, sdy, sdz, maxt)
-                    soft = soft * (1.0 - edge * gate)
+                    soft = soft * (1.0 - edge * endp * gate_b)
             ok_m = _f32m((wo >= 0.0) & (wi > 0.0) & jnp.logical_not(occ))
             inv2 = inv * inv
             core = (4.0 * jnp.pi) * (lrad * lrad) * wi * wo * inv2
@@ -567,9 +605,12 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                         sph(s, 6) == 0.0)
                     occ = occ | (blocked & nonlite)
                     if vis:
-                        edge, gate, _, _, _ = vis_edge_gate(
+                        edge, gate_b, endp, _, _, _, _ = vis_terms(
                             s, hx, hy, hz, sdx, sdy, sdz, maxt)
-                        soft = soft * (1.0 - edge * gate * _f32m(nonlite))
+                        # host-sphere exclusion (vpl table col 10)
+                        not_host = _f32m(f32(s) != vpl_ref[v, 10])
+                        soft = soft * (1.0 - edge * endp * gate_b
+                                       * _f32m(nonlite) * not_host)
                 ok_m = _f32m((wo >= 0.0) & (wi > 0.0)
                              & jnp.logical_not(occ) & vvalid)
                 ok_vis = _f32m((wo >= 0.0) & (wi > 0.0) & vvalid)
@@ -627,12 +668,14 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             bsd_y = bwi * nly - bwo * uys
             bsd_z = bwi * nlz - bwo * uzs
             bnl_x += bwi * sdx; bnl_y += bwi * sdy; bnl_z += bwi * sdz
+            bmaxt_lane = jnp.zeros(shape, f32)
             if vis:
                 # Visibility carrier: rad += stop(contrib) * soft (the
                 # zero-primal term of direct.py:113-124). bsoft is the
                 # per-lane cotangent of soft; each blocker's det then
                 # routes into its p/rad AND into the shadow segment
-                # (hp via op, sdir via b) exactly as XLA's autodiff of
+                # (hp via op, sdir via b, maxt via the two-sided endpoint
+                # sigmoid) exactly as XLA's autodiff of
                 # intersect.soft_visibility does.
                 ok_vis = _f32m((wo >= 0.0) & (wi > 0.0))
                 bsoft = (bld_dir_r * le_r + bld_dir_g * le_g
@@ -640,18 +683,20 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                     * core * ok_vis
                 maxt = 1.0 / inv - EPSILON
                 for s in range(n_spheres):
-                    edge, gate, width, b_s, (opx_s, opy_s, opz_s) = \
-                        vis_edge_gate(s, hx, hy, hz, sdx, sdy, sdz, maxt)
-                    bdet = bsoft * soft * (-(gate * edge) / width)
-                    bb2 = 2.0 * b_s * bdet
-                    bop_x = bb2 * sdx - 2.0 * opx_s * bdet
-                    bop_y = bb2 * sdy - 2.0 * opy_s * bdet
-                    bop_z = bb2 * sdz - 2.0 * opz_s * bdet
+                    if s == lig:   # target light excluded (see fwd loop)
+                        continue
+                    edge, gate_b, endp, width, b_s, det_s, op_s = \
+                        vis_terms(s, hx, hy, hz, sdx, sdy, sdz, maxt)
+                    (bop_x, bop_y, bop_z, bsdd_x, bsdd_y, bsdd_z,
+                     brad2, bmx) = vis_blocker_adj(
+                        bsoft, soft, edge, gate_b, endp, width, b_s,
+                        det_s, op_s, sdx, sdy, sdz)
                     bhp_x -= bop_x; bhp_y -= bop_y; bhp_z -= bop_z
-                    bsd_x += bb2 * opx_s
-                    bsd_y += bb2 * opy_s
-                    bsd_z += bb2 * opz_s
-                    add_tab(s, 0, jnp.sum(2.0 * sph(s, 0) * bdet))
+                    bsd_x += bsdd_x
+                    bsd_y += bsdd_y
+                    bsd_z += bsdd_z
+                    bmaxt_lane += bmx
+                    add_tab(s, 0, jnp.sum(sph(s, 0) * brad2))
                     add_tab(s, 1, jnp.sum(bop_x))
                     add_tab(s, 2, jnp.sum(bop_y))
                     add_tab(s, 3, jnp.sum(bop_z))
@@ -660,6 +705,9 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             brw_y = bsd_y * inv
             brw_z = bsd_z * inv
             binv += _dot3(bsd_x, bsd_y, bsd_z, rwx, rwy, rwz)
+            # maxt = 1/inv - eps (the endpoint sigmoid's segment-length
+            # gradient): d maxt / d inv = -inv^-2
+            binv += bmaxt_lane * (-1.0 / (inv * inv))
             # inv = 1/sqrt(q): bq = -0.5 inv^3 binv
             bq = -0.5 * (inv * inv * inv) * binv
             brw_x += 2.0 * rwx * bq
@@ -703,38 +751,39 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 bvn_x = jnp.sum(-bwo * sdx)
                 bvn_y = jnp.sum(-bwo * sdy)
                 bvn_z = jnp.sum(-bwo * sdz)
+                bmaxt_lane = jnp.zeros(shape, f32)
                 if vis:
                     # Virtual-shadow-ray carrier (direct.py:187-196):
                     # vacuum soft — emitters never block, so their gate
-                    # was zeroed in the recompute and bdet is 0 there.
+                    # factor zeroes both the forward product and bdet.
                     bsoft = (bv_r * vrx + bv_g * vry + bv_b * vrz) \
                         * ok_vis * wi * wo
                     maxt = 1.0 / inv - EPSILON
                     for s in range(n_spheres):
-                        edge, gate, width, b_s, (opx_s, opy_s, opz_s) = \
-                            vis_edge_gate(s, hx, hy, hz, sdx, sdy, sdz,
-                                          maxt)
+                        edge, gate_b, endp, width, b_s, det_s, op_s = \
+                            vis_terms(s, hx, hy, hz, sdx, sdy, sdz, maxt)
                         nonlite = _f32m((sph(s, 4) == 0.0)
                                         & (sph(s, 5) == 0.0)
                                         & (sph(s, 6) == 0.0))
-                        bdet = bsoft * soft * (
-                            -(gate * nonlite * edge) / width)
-                        bb2 = 2.0 * b_s * bdet
-                        bop_x = bb2 * sdx - 2.0 * opx_s * bdet
-                        bop_y = bb2 * sdy - 2.0 * opy_s * bdet
-                        bop_z = bb2 * sdz - 2.0 * opz_s * bdet
+                        not_host = _f32m(f32(s) != vpl_ref[v, 10])
+                        (bop_x, bop_y, bop_z, bsdd_x, bsdd_y, bsdd_z,
+                         brad2, bmx) = vis_blocker_adj(
+                            bsoft, soft, edge, gate_b * nonlite * not_host,
+                            endp, width, b_s, det_s, op_s, sdx, sdy, sdz)
                         bhp_x -= bop_x; bhp_y -= bop_y; bhp_z -= bop_z
-                        bsd_x += bb2 * opx_s
-                        bsd_y += bb2 * opy_s
-                        bsd_z += bb2 * opz_s
-                        add_tab(s, 0, jnp.sum(2.0 * sph(s, 0) * bdet))
+                        bsd_x += bsdd_x
+                        bsd_y += bsdd_y
+                        bsd_z += bsdd_z
+                        bmaxt_lane += bmx
+                        add_tab(s, 0, jnp.sum(sph(s, 0) * brad2))
                         add_tab(s, 1, jnp.sum(bop_x))
                         add_tab(s, 2, jnp.sum(bop_y))
                         add_tab(s, 3, jnp.sum(bop_z))
                 brw_x = bsd_x * inv
                 brw_y = bsd_y * inv
                 brw_z = bsd_z * inv
-                binv = _dot3(bsd_x, bsd_y, bsd_z, rwx, rwy, rwz)
+                binv = _dot3(bsd_x, bsd_y, bsd_z, rwx, rwy, rwz) \
+                    + bmaxt_lane * (-1.0 / (inv * inv))
                 bq = -0.5 * (inv * inv * inv) * binv
                 brw_x += 2.0 * rwx * bq
                 brw_y += 2.0 * rwy * bq

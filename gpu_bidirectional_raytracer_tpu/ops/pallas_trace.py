@@ -542,9 +542,16 @@ def _vpl_table(cfg: IntegratorConfig, vpls: VplBuffer | None,
     w_valid = (vpls.valid[:cfg.vpl_depth, lanes]
                & in_range[None, :]).reshape(-1, 1)
     n_vpl = w_hp.shape[0]
+    # col 10: host sphere id (-1 when absent) — the vis-gradient endpoint
+    # exclusion (ops.pallas_grad mirrors direct.gather_vpls).
+    if vpls.sid is not None:
+        w_sid = vpls.sid[:cfg.vpl_depth, lanes].reshape(-1, 1)
+        w_sid = w_sid.astype(jnp.float32)
+    else:
+        w_sid = jnp.full((n_vpl, 1), -1.0, jnp.float32)
     tab = jnp.concatenate(
-        [w_hp, w_rad, w_nl, w_valid.astype(jnp.float32),
-         jnp.zeros((n_vpl, 6), jnp.float32)], axis=1)
+        [w_hp, w_rad, w_nl, w_valid.astype(jnp.float32), w_sid,
+         jnp.zeros((n_vpl, 5), jnp.float32)], axis=1)
     return tab, n_vpl, True
 
 

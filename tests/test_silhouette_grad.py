@@ -258,6 +258,78 @@ class TestMirrorSilhouette:
         assert abs(got_sil - fd) / abs(fd) < 0.35, (got_sil, fd)
 
 
+class TestRefrSilhouette:
+    """REFR (glass) primary silhouettes: the carrier fires on the argmin
+    hit whatever its material, so a glass sphere's visible rim carries
+    coverage gradient too (VERDICT r2 #7).
+
+    Scene design (measured, round-3 probes): a DARK-tinted glass sphere
+    (albedo 0.05 — still the full Fresnel/RR REFR branch) in front of a
+    bright diffuse wall disc, empty sky elsewhere. The tint kills the
+    lens confound (through-glass transmission of the moving background —
+    a DEEPER silhouette structure the carrier intentionally does not
+    model), so FD is dominated by the rim coverage term: the detached
+    radius gradient misses nearly all of FD and the detached lateral
+    gradient has the WRONG SIGN; the carrier (tau=1; at tau=2 the band
+    outgrows the Fresnel rim structure and washes out) restores both.
+    """
+
+    @pytest.fixture(scope="class")
+    def gsetup(self):
+        from gpu_bidirectional_raytracer_tpu.core.types import REFR
+
+        scene = Scene(
+            rad=jnp.array([10.0, 25.0, 6.0]),
+            p=jnp.array([[0.0, 0.0, 0.0],       # dark glass sphere
+                         [0.0, 0.0, -40.0],     # bright wall disc behind
+                         [0.0, 45.0, 55.0]]),   # light above-front
+            e=jnp.array([[0.0, 0.0, 0.0],
+                         [0.0, 0.0, 0.0],
+                         [30.0, 30.0, 30.0]]),
+            c=jnp.array([[0.05, 0.05, 0.05],
+                         [0.8, 0.6, 0.3],
+                         [0.0, 0.0, 0.0]]),
+            refl=jnp.array([REFR, 0, 0], jnp.int32),
+        )
+        cam = Camera.make(jnp.array([0.0, 0.0, 60.0]),
+                          jnp.array([0.0, 0.0, 0.0]), W, H)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        wts = jax.random.uniform(jax.random.key(7), (H, W, 3))
+        return scene, cam, li, key, wts
+
+    def _ggrads(self, gsetup, tau, param, idx, eps, spp=12):
+        scene, cam, li, key, wts = gsetup
+        cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                  sil_grad_tau=tau)
+
+        def render_fn(sc):
+            return G.render_radiance(sc, cam, key, cfg, W, H, li, spp)
+
+        auto = jax.grad(lambda sc: jnp.sum(wts * render_fn(sc)),
+                        allow_int=True)(scene)
+        fd = float((np.asarray(wts)
+                    * G.pixel_grad_fd(scene, render_fn, param, idx,
+                                      eps)).sum())
+        return float(np.asarray(getattr(auto, param))[idx]), fd
+
+    def test_glass_radius_matches_fd(self, gsetup):
+        got_det, fd = self._ggrads(gsetup, 0.0, "rad", (0,), 0.5)
+        got_sil, _ = self._ggrads(gsetup, 1.0, "rad", (0,), 0.5)
+        # detached sees only the (tiny) transmitted/Fresnel shading terms
+        assert abs(got_det - fd) / abs(fd) > 0.5, (got_det, fd)
+        assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
+        assert abs(got_sil - fd) / abs(fd) < 0.3, (got_sil, fd)
+
+    def test_glass_position_sign(self, gsetup):
+        got_det, fd = self._ggrads(gsetup, 0.0, "p", (0, 0), 1.0)
+        got_sil, _ = self._ggrads(gsetup, 1.0, "p", (0, 0), 1.0)
+        assert np.sign(got_det) != np.sign(fd), (got_det, fd)
+        assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
+        assert abs(got_sil - fd) < abs(got_det - fd), (got_det, got_sil,
+                                                       fd)
+
+
 class TestSilhouetteRecovery:
     def test_position_recovery_converges(self, setup):
         # Fit the sphere's position back from a 4-unit x offset. The

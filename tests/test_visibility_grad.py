@@ -171,3 +171,82 @@ class TestShadowRecovery:
         g1 = np.asarray(g(cfg_t).p)[oi]
         assert np.isfinite(g0).all() and np.isfinite(g1).all()
         assert not np.allclose(g0, g1), (g0, g1)
+
+
+class TestEndpointStraddle:
+    """Two-sided shadow-endpoint carrier (round 3, VERDICT r2 #7): a
+    blocker whose chord straddles the FAR end of the shadow segment (a
+    sphere dipping into the span of light-sample endpoints) previously
+    sat on the hard, stop-gradiented ``b < maxt`` gate — zero gradient
+    for its motion along the segment, and none for the light pulling its
+    endpoint across the blocker. The endpoint sigmoid in
+    `intersect.soft_visibility` carries both.
+
+    Geometry: floor + light (rad 5 at y=40) + a blocker overhead whose
+    bottom (y=40) reaches the light's sample span. Measured calibration
+    (round-3 probes): the detached estimator is BLIND to the blocker's
+    vertical motion/growth (<=10% of FD); the tau=1 carrier restores the
+    sign with a ~2x relaxation overshoot (the sigmoid band integrates
+    the approach over ~tau units while the hard transition is a set of
+    per-sample crossings) — asserted as a [1/3, 3] magnitude band. The
+    light's own endpoint gradient is additive on top of a large detached
+    shading term; there the carrier closes ~70% of the FD gap.
+    """
+
+    @pytest.fixture(scope="class")
+    def esetup(self):
+        scene = Scene(
+            rad=jnp.array([1e4, 5.0, 6.0]),
+            p=jnp.array([[0.0, -1e4, 0.0],
+                         [0.0, 40.0, 0.0],     # light
+                         [0.0, 46.0, 0.0]]),   # blocker straddling its top
+            e=jnp.array([[0.0, 0.0, 0.0],
+                         [30.0, 30.0, 30.0],
+                         [0.0, 0.0, 0.0]]),
+            c=jnp.array([[0.7, 0.7, 0.7],
+                         [0.0, 0.0, 0.0],
+                         [0.4, 0.4, 0.4]]),
+            refl=jnp.array([0, 0, 0], jnp.int32),
+        )
+        w, h = 32, 24
+        cam = Camera.make(jnp.array([0.0, 25.0, 70.0]),
+                          jnp.array([0.0, 5.0, 0.0]), w, h)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        return scene, cam, li, key, w, h
+
+    def _grads(self, esetup, tau, param, idx, eps, spp=8):
+        scene, cam, li, key, w, h = esetup
+        cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                  vis_grad_tau=tau)
+
+        def render_fn(sc):
+            return G.render_radiance(sc, cam, key, cfg, w, h, li, spp)
+
+        auto = jax.grad(lambda sc: jnp.sum(render_fn(sc)),
+                        allow_int=True)(scene)
+        fd = float(G.pixel_grad_fd(scene, render_fn, param, idx, eps).sum())
+        return float(np.asarray(getattr(auto, param))[idx]), fd
+
+    def test_blocker_axial_motion(self, esetup):
+        got_det, fd = self._grads(esetup, 0.0, "p", (2, 1), 1.0)
+        got_t, _ = self._grads(esetup, 1.0, "p", (2, 1), 1.0)
+        assert abs(got_det) < 0.1 * abs(fd), (got_det, fd)     # blind
+        assert np.sign(got_t) == np.sign(fd), (got_t, fd)
+        assert 1 / 3 < got_t / fd < 3.0, (got_t, fd)
+
+    def test_blocker_radius(self, esetup):
+        got_det, fd = self._grads(esetup, 0.0, "rad", (2,), 1.0)
+        got_t, _ = self._grads(esetup, 1.0, "rad", (2,), 1.0)
+        assert abs(got_det) < 0.1 * abs(fd), (got_det, fd)
+        assert np.sign(got_t) == np.sign(fd), (got_t, fd)
+        assert 1 / 3 < got_t / fd < 3.0, (got_t, fd)
+
+    def test_light_endpoint_gradient(self, esetup):
+        # Moving the light moves every segment endpoint across the
+        # blocker: the carrier must close most of the detached estimator's
+        # FD gap (shading terms dominate the absolute value).
+        got_det, fd = self._grads(esetup, 0.0, "p", (1, 1), 1.0)
+        got_t, _ = self._grads(esetup, 1.0, "p", (1, 1), 1.0)
+        assert abs(got_t - fd) < 0.5 * abs(got_det - fd), (got_det, got_t,
+                                                           fd)

@@ -282,10 +282,15 @@ def trace(scene: Scene, cfg: IntegratorConfig, light_idx: tuple[int, ...],
             # decision flips in the census (stale rays keep intersecting
             # deterministically-but-irrelevantly).
             sc, sc_bits = sc
+            # occ stays RAW (the re-walk/kernel facts contract — the
+            # pallas aux kernel emits unmasked occlusion); the census
+            # entries (ok gates, branch bits, root choice) are
+            # aliveness-masked so dead-lane garbage can't register as
+            # decision flips.
             live_hit = alive_entry & hit
             aux_d = (jnp.where(live_hit, hit_id, -1),
-                     occ_l & nee_mask[:, None],
-                     None if occ_v is None else occ_v & nee_mask[:, None],
+                     occ_l,
+                     occ_v,
                      ok_l & nee_mask[:, None],
                      jnp.where(alive, sc_bits, -1),
                      jnp.where(live_hit, use1_bit.astype(jnp.int32), -1))

@@ -259,12 +259,13 @@ def _bounce_step(scene_ref, vpl_ref, trow, state, *,
         scene_ref, n_spheres, ox, oy, oz, dx, dy, dz,
         force_unroll=force_unroll)
     hit = best_t < _BIG
-    alive = alive & hit
-    t = jnp.where(hit, best_t, 1.0)
     aux = []
     if want_aux:
-        # hit id with -1 encoding misses (f32 plane; ids are small ints).
-        aux.append(jnp.where(hit, best_id.astype(f32), f32(-1.0)))
+        # hit id with -1 encoding misses AND dead lanes (matching the
+        # XLA collector's aliveness mask; f32 plane, ids are small ints).
+        aux.append(jnp.where(alive & hit, best_id.astype(f32), f32(-1.0)))
+    alive = alive & hit
+    t = jnp.where(hit, best_t, 1.0)
 
     hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
     nx, ny, nz = _normalize(hx - opx, hy - opy, hz - opz)

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""BASELINE config-ladder quality gates (BASELINE.md "configs").
+
+Each rung renders its full config on the AMBIENT platform (TPU in
+production, auto backend — the pallas megakernel path) and a lower-spp
+CPU reference with the SAME estimator on the XLA tracer. Both are
+unbiased estimates of the same image, so their coarse-cell region means
+must agree within the Monte-Carlo noise; NCC of the downsampled images
+must be ~1. A regression in any kernel, backend routing, scheduler, or
+scene handling on the ladder configs fails the gate LOUDLY (nonzero
+exit) — this replaces round 2's "finite at low spp" smoke coverage of
+the upper rungs (VERDICT r2 weak/next #8).
+
+Rungs (BASELINE.json "configs"):
+  simple.scn        256x256 @ 16 spp
+  cornell.scn       512x512 @ 256 spp
+  cornell_mirror    512x512 @ 1024 spp
+  cornell_glass     512x512 @ 1024 spp
+  caustic.scn       512x384 @ 4096 spp
+(The 10-sphere inverse-rendering rung is exercised by
+tests/test_gradients.py recovery tests and examples/inverse_rendering.py.)
+
+Artifacts: artifacts/ladder_<rung>.png + artifacts/LADDER.json.
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/ladder.py \
+          [--rung NAME] [--scale N]
+``--scale N`` divides every spp by N (CI-speed smoke of the same gate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, "artifacts")
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+RUNGS = {
+    "simple": ("simple.scn", 256, 256, 16),
+    "cornell": ("cornell.scn", 512, 512, 256),
+    "mirror": ("cornell_mirror.scn", 512, 512, 1024),
+    "glass": ("cornell_glass.scn", 512, 512, 1024),
+    "caustic": ("caustic.scn", 512, 384, 4096),
+}
+# CPU reference spp divisor: the reference only needs enough samples for
+# its 16x16-cell means to sit within the tolerance band.
+REF_DIV = 8
+CELL = 16
+
+
+def _cells(img: np.ndarray) -> np.ndarray:
+    h, w, _ = img.shape
+    return img[: h // CELL * CELL, : w // CELL * CELL].reshape(
+        h // CELL, CELL, w // CELL, CELL, 3).mean(axis=(1, 3))
+
+
+def run_rung(name: str, scale: int) -> dict:
+    import jax
+
+    from gpu_bidirectional_raytracer_tpu import IntegratorConfig, Renderer
+    from gpu_bidirectional_raytracer_tpu.render import film
+    from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
+
+    scn, w, h, spp = RUNGS[name]
+    spp = max(spp // scale, 4)
+    ref_spp = max(spp // REF_DIV, 4)
+    orig, target, scene = load_scene(
+        os.path.join(REPO, "assets", "scenes", scn))
+    cfg = IntegratorConfig()        # production bidirectional estimator
+
+    legs = {}
+    for leg, backend, n in (("tpu", "auto", spp), ("cpu_ref", "xla",
+                                                   ref_spp)):
+        r = Renderer(scene, orig, target, w, h, cfg=cfg, backend=backend)
+        t0 = time.time()
+        for _ in range(n):
+            r.step()
+        jax.block_until_ready(r.state.colors)
+        legs[leg] = dict(img=np.asarray(r.state.colors),
+                         spp=n, seconds=round(time.time() - t0, 1),
+                         platform=jax.default_backend()
+                         if leg == "tpu" else "same-process")
+    a, b = legs["tpu"]["img"], legs["cpu_ref"]["img"]
+    film.write_image(a, os.path.join(ART, f"ladder_{name}.png"))
+
+    ca, cb = _cells(a), _cells(b)
+    ncc = float(np.corrcoef(ca.ravel(), cb.ravel())[0, 1])
+    scale_ref = max(float(cb.mean()), 1e-6)
+    cell_rel = np.abs(ca - cb).mean(axis=-1) / scale_ref
+    res = {
+        "scene": scn, "dims": f"{w}x{h}",
+        "spp": legs["tpu"]["spp"], "ref_spp": legs["cpu_ref"]["spp"],
+        "seconds": legs["tpu"]["seconds"],
+        "ref_seconds": legs["cpu_ref"]["seconds"],
+        "mean": float(a.mean()), "ref_mean": float(b.mean()),
+        "ncc_cells": ncc,
+        "mean_rel_cell_err": float(cell_rel.mean()),
+        "p95_rel_cell_err": float(np.quantile(cell_rel, 0.95)),
+        "finite": bool(np.isfinite(a).all()),
+    }
+    checks = {
+        "finite": res["finite"],
+        "ncc>=0.995": ncc >= 0.995,
+        "mean_rel<=3%": res["mean_rel_cell_err"] <= 0.03,
+        "p95_rel<=10%": res["p95_rel_cell_err"] <= 0.10,
+        "global_mean<=2%": abs(res["mean"] - res["ref_mean"])
+        <= 0.02 * max(res["ref_mean"], 1e-6),
+    }
+    res["checks"] = checks
+    res["passed"] = all(checks.values())
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rung", choices=list(RUNGS), default=None)
+    ap.add_argument("--scale", type=int, default=1)
+    args = ap.parse_args()
+    os.makedirs(ART, exist_ok=True)
+    names = [args.rung] if args.rung else list(RUNGS)
+    out, ok = {}, True
+    path = os.path.join(ART, "LADDER.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    for name in names:
+        res = run_rung(name, args.scale)
+        out[name] = res
+        ok = ok and res["passed"]
+        print(json.dumps({name: res}), flush=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    if not ok:
+        print("LADDER GATE FAILED", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -220,18 +220,24 @@ def classify_leg(platform: str | None, out_name: str,
             rad, aux = path_tracer.trace(
                 scene, cfg, li, rays, key, s, lane_offset=pid,
                 lane_total=n, collect_aux=True)
-            return 0, (rad[0], aux[0][:, 0], aux[1][:, 0, :])
+            # facts: hit ids, NEE occlusion, NEE contribution gates,
+            # Fresnel/TIR branch bits, near/far root choice (aux[2] is
+            # the VPL occ — None for the cpu_golden estimator).
+            return 0, (rad[0], aux[0][:, 0], aux[1][:, 0, :],
+                       aux[3][:, 0, :], aux[4][:, 0], aux[5][:, 0])
 
-        _, (rads, hids, occs) = jax.lax.scan(
+        _, (rads, hids, occs, oks, bits, roots) = jax.lax.scan(
             one_pass, 0, jnp.arange(spp, dtype=jnp.int32))
-        return rads, hids, occs
+        return rads, hids, occs, oks, bits, roots
 
     t0 = time.time()
-    rads, hids, occs = jax.jit(jax.vmap(one_pixel))(jnp.asarray(pids))
+    rads, hids, occs, oks, bits, roots = jax.jit(jax.vmap(one_pixel))(
+        jnp.asarray(pids))
     jax.block_until_ready(rads)
     np.savez(os.path.join(ART, out_name + ".npz"),
              pids=pids, rad=np.asarray(rads), hid=np.asarray(hids),
-             occ=np.asarray(occs), spp=spp)
+             occ=np.asarray(occs), ok=np.asarray(oks),
+             bits=np.asarray(bits), roots=np.asarray(roots), spp=spp)
     print(json.dumps({"leg": out_name, "pixels": int(len(pids)),
                       "spp": spp, "seconds": round(time.time() - t0, 1),
                       "platform": jax.default_backend()}))
@@ -253,8 +259,15 @@ def classify() -> None:
     assert (t["pids"] == c["pids"]).all()
     spp = int(t["spp"])
     rad_t, rad_c = t["rad"].astype(np.float64), c["rad"].astype(np.float64)
+    # Facts equality uses the MASKED census entries: hit ids, NEE
+    # contribution gates (ok = facing & wi>0 & unoccluded on contributing
+    # lanes — subsumes occlusion where it matters; raw occ on dead lanes
+    # is deterministic garbage that would register as phantom flips),
+    # Fresnel branch bits, root choice.
     facts_eq = ((t["hid"] == c["hid"]).all(axis=-1)
-                & (t["occ"] == c["occ"]).all(axis=(-2, -1)))    # [P, spp]
+                & (t["ok"] == c["ok"]).all(axis=(-2, -1))
+                & (t["bits"] == c["bits"]).all(axis=-1)
+                & (t["roots"] == c["roots"]).all(axis=-1))      # [P, spp]
     per_pass_diff = np.abs(rad_t - rad_c).max(axis=-1)          # [P, spp]
     # (a) arithmetic drift on facts-equal passes
     drift = per_pass_diff[facts_eq]
@@ -268,12 +281,18 @@ def classify() -> None:
     # (c) decision flip rates
     hid_flips = float((t["hid"] != c["hid"]).mean())
     occ_flips = float((t["occ"] != c["occ"]).mean())
+    ok_flips = float((t["ok"] != c["ok"]).mean())
+    bit_flips = float((t["bits"] != c["bits"]).mean())
+    root_flips = float((t["roots"] != c["roots"]).mean())
     n_flip_passes = (~facts_eq).sum(axis=1)
     offender = np.abs(pix_diff).max(axis=-1) > 1e-3
     out = {
         "pixels": int(len(t["pids"])), "spp": spp,
         "per_decision_flip_rate_hit_id": hid_flips,
         "per_decision_flip_rate_occlusion": occ_flips,
+        "per_decision_flip_rate_nee_gate": ok_flips,
+        "per_decision_flip_rate_fresnel_branch": bit_flips,
+        "per_decision_flip_rate_root_choice": root_flips,
         "facts_equal_pass_fraction": float(facts_eq.mean()),
         "arith_drift_on_facts_equal_passes": {
             "max_abs": float(drift.max()),

@@ -232,3 +232,32 @@ class TestBidirectionalGradients:
         de_stop = np.asarray(g_stop.e)[4]
         assert np.isfinite(de_full).all() and np.isfinite(de_stop).all()
         assert not np.allclose(de_full, de_stop), (de_full, de_stop)
+
+
+class TestLaneWindowedCore:
+    """`render_radiance_lanes` (round 3): the lane-windowed core shared by
+    `render_radiance` and the sharded training step. A band render must be
+    BITWISE-equal to the same lanes of the full-frame render (the global
+    tape-window contract), including both straight-through carriers."""
+
+    def test_band_bitwise_equal(self):
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.scene import builtin
+
+        scene = builtin.cornell_box()
+        w, h = 16, 12
+        n = w * h
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        li = static_light_indices(scene)
+        key = jax.random.key(5)
+        cfg = dataclasses.replace(IntegratorConfig(), vis_grad_tau=2.0,
+                                  sil_grad_tau=1.0, max_depth=3)
+        full = np.asarray(G.render_radiance(
+            scene, cam, key, cfg, w, h, li, 2)).reshape(n, 3)
+        off, cnt = 40, 64
+        band = np.asarray(G.render_radiance_lanes(
+            scene, cam, key, cfg, w, h, li, 2, "xla",
+            lane_offset=jnp.int32(off), lane_count=cnt, lane_total=n))
+        np.testing.assert_array_equal(band, full[off:off + cnt])

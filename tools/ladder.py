@@ -74,18 +74,26 @@ def run_rung(name: str, scale: int) -> dict:
         os.path.join(REPO, "assets", "scenes", scn))
     cfg = IntegratorConfig()        # production bidirectional estimator
 
+    import contextlib
+
     legs = {}
-    for leg, backend, n in (("tpu", "auto", spp), ("cpu_ref", "xla",
-                                                   ref_spp)):
-        r = Renderer(scene, orig, target, w, h, cfg=cfg, backend=backend)
-        t0 = time.time()
-        for _ in range(n):
-            r.step()
-        jax.block_until_ready(r.state.colors)
-        legs[leg] = dict(img=np.asarray(r.state.colors),
-                         spp=n, seconds=round(time.time() - t0, 1),
-                         platform=jax.default_backend()
-                         if leg == "tpu" else "same-process")
+    cpu0 = jax.devices("cpu")[0]
+    for leg, backend, n, ctx in (
+        ("tpu", "auto", spp, contextlib.nullcontext()),
+        # The reference leg is a genuinely independent chain: CPU
+        # devices + the XLA tracer (the ambient platform is pinned to
+        # the TPU tunnel, so place explicitly).
+        ("cpu_ref", "xla", ref_spp, jax.default_device(cpu0)),
+    ):
+        with ctx:
+            r = Renderer(scene, orig, target, w, h, cfg=cfg,
+                         backend=backend)
+            t0 = time.time()
+            for _ in range(n):
+                r.step()
+            jax.block_until_ready(r.state.colors)
+            legs[leg] = dict(img=np.asarray(r.state.colors),
+                             spp=n, seconds=round(time.time() - t0, 1))
     a, b = legs["tpu"]["img"], legs["cpu_ref"]["img"]
     film.write_image(a, os.path.join(ART, f"ladder_{name}.png"))
 

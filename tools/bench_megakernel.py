@@ -2,8 +2,12 @@
 """Forward-megakernel speed-of-light study (VERDICT r2 #6).
 
 Where do the ~3.4 ms of a sustained cornell 512x512 pallas pass go?
-Decomposition by MEASUREMENT (each leg timed as sustained chained passes
-inside the tunnel-safe pattern of bench.py):
+Decomposition by MEASUREMENT. Every leg times PASSES chained passes
+INSIDE one jit (`lax.fori_loop` over the sample counter, fresh salted
+key per timing call) — the only tunnel-safe pattern: un-jitted per-pass
+dispatch over the TPU HTTP tunnel costs a noisy ~80-200 ms RTT per call
+that buries a 3 ms kernel (measured; first revision of this tool did
+exactly that), and identical re-dispatches are memoized server-side.
 
 - depth sweep (max_depth 1..7): the per-bounce marginal cost of the
   unrolled megakernel body;
@@ -55,17 +59,40 @@ from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (  # noqa: E402
 from gpu_bidirectional_raytracer_tpu.scene import builtin  # noqa: E402
 
 W = H = 512
-PASSES = 24
+N_SHORT, N_LONG = 8, 104   # differenced trip counts (see sustained)
+REPS = 3
 
 
 def sustained(fn, key):
-    jax.block_until_ready(fn(key, jnp.int32(0)))
-    out = None
-    t0 = time.perf_counter()
-    for s in range(PASSES):
-        out = fn(key, jnp.int32(s + 1))
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / PASSES
+    """Per-pass seconds of chained passes inside ONE jit, net of RTT.
+
+    ``fn(key, s) -> [N, 3]`` radiance of pass ``s``. The passes run in a
+    DYNAMIC-trip-count `fori_loop` (one compile), and the reported time
+    is ``(t(N_LONG) - t(N_SHORT)) / (N_LONG - N_SHORT)`` — the ~80-200 ms
+    tunnel round-trip around each dispatch is common to both calls and
+    cancels in the difference. Fresh fold_in'd keys per call defeat
+    server-side memoization of identical executions; best of REPS pairs
+    (tunnel noise is right-skewed).
+    """
+
+    @jax.jit
+    def loop(key, s0, n):
+        def body(i, acc):
+            return acc + fn(key, s0 + i).sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    jax.block_until_ready(loop(key, jnp.int32(0), jnp.int32(2)))  # compile
+    best = float("inf")
+    for r in range(REPS):
+        k = jax.random.fold_in(key, jnp.uint32(r + 1))
+        ts = []
+        for n in (N_SHORT, N_LONG):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(k, jnp.int32(1), jnp.int32(n)))
+            ts.append(time.perf_counter() - t0)
+        best = min(best, (ts[1] - ts[0]) / (N_LONG - N_SHORT))
+    return best
 
 
 def main() -> None:

@@ -55,15 +55,26 @@ def _timeit(fn, *args, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def _sustained(step_fn, state, passes=32):
-    """Chained progressive passes, one block at the end — the serving-mode
-    throughput (per-pass dispatch latency amortizes away)."""
-    state = jax.block_until_ready(step_fn(state))  # warm
-    t0 = time.perf_counter()
-    for _ in range(passes):
-        state = step_fn(state)
-    jax.block_until_ready(state)
-    return (time.perf_counter() - t0) / passes
+def _sustained(chunk_fn, state, n_short=8, n_long=72, reps=3):
+    """Serving-mode throughput: passes chained INSIDE one jitted program
+    (`render.progressive.render_chunk` — the `Renderer.step_n` path).
+    Reported per-pass time is ``(t(n_long) - t(n_short)) / (n_long -
+    n_short)``: the host->device dispatch round trip (~90 ms over the
+    remote-TPU tunnel, which used to be ~half of the old chained-step
+    "sustained" number) is common to both calls and cancels."""
+    st = jax.block_until_ready(chunk_fn(state, jnp.int32(2)))  # compile
+    best = float("inf")
+    for _ in range(reps):
+        ts = []
+        for n in (n_short, n_long):
+            # Chain the evolving state through the timing calls: identical
+            # (args, executable) re-dispatches are memoized server-side
+            # over the TPU tunnel and would time as ~0.
+            t0 = time.perf_counter()
+            st = jax.block_until_ready(chunk_fn(st, jnp.int32(n)))
+            ts.append(time.perf_counter() - t0)
+        best = min(best, (ts[1] - ts[0]) / (n_long - n_short))
+    return best
 
 
 _T0 = time.perf_counter()
@@ -82,6 +93,7 @@ def main() -> None:
     from gpu_bidirectional_raytracer_tpu.render.progressive import (
         frame_rays,
         init_state,
+        render_chunk,
         render_pass,
     )
     from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
@@ -107,6 +119,14 @@ def main() -> None:
         return render_pass(scene, cam, state, cfg, width, height, light_idx,
                            False, "pallas")
 
+    def chunk_pallas(state, n):
+        return render_chunk(scene, cam, state, n, cfg, width, height,
+                            light_idx, None, "pallas")
+
+    def chunk_xla(state, n):
+        return render_chunk(scene, cam, state, n, cfg, width, height,
+                            light_idx, None, "xla")
+
     # Failures are RECORDED, never silently swallowed (VERDICT r2 weak#9):
     # a pallas regression must show up in the driver-captured JSON, not
     # quietly publish XLA numbers under the headline key.
@@ -117,12 +137,24 @@ def main() -> None:
 
     try:
         t_fwd_pl = _timeit(fwd_pallas, state)
-        t_sustained = _sustained(fwd_pallas, state)
+        t_sustained = _sustained(chunk_pallas, state)
     except Exception as e:
         _err("fwd_pallas", e)
         t_fwd_pl = None
-        t_sustained = _sustained(fwd, state)
+        t_sustained = _sustained(chunk_xla, state)
     t_fwd = _timeit(fwd, state)
+
+    # Fast-tape serving mode (rng_impl='rbg'): same estimator/kernel, the
+    # threefry tape (~half the pass) swapped for the hardware bit
+    # generator — quality-equivalent beauty renders, not replayable
+    # across backends (see render.progressive.init_state).
+    try:
+        state_rbg = init_state(width, height, cfg, seed=0, rng_impl="rbg")
+        t_sustained_rbg = _sustained(
+            chunk_pallas if t_fwd_pl else chunk_xla, state_rbg)
+    except Exception as e:
+        _err("fast_rng", e)
+        t_sustained_rbg = None
 
     # ---- bounce-aware work census (one instrumented XLA trace) ---------
     rays = frame_rays(cam, cfg, width, height, key, jnp.int32(0))
@@ -157,6 +189,40 @@ def main() -> None:
         bwd_backend = "xla"
     t_fb_xla = (_timeit(fwd_bwd_xla)
                 if os.environ.get("BENCH_SKIP_XLA_BWD") != "1" else None)
+
+    # Sustained training step: fwd+bwd evals chained inside ONE jit
+    # (gradient-accumulation shape) — the per-step device time net of
+    # dispatch latency, same differencing as _sustained.
+    def _fb_sustained(backend, n_short=4, n_long=36, reps=3):
+        @jax.jit
+        def loop(key, n):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                loss, g = G.render_loss_grad(scene, cam, k, tgt, cfg,
+                                             width, height, light_idx, 1,
+                                             backend=backend)
+                return acc + loss + jnp.sum(g.p)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jax.block_until_ready(loop(key, jnp.int32(2)))
+        best = float("inf")
+        for r in range(reps):
+            # fresh key per rep: defeats server-side memoization of
+            # identical (args, executable) dispatches over the tunnel.
+            k = jax.random.fold_in(key, jnp.uint32(0xB0 + r))
+            ts = []
+            for n in (n_short, n_long):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(k, jnp.int32(n)))
+                ts.append(time.perf_counter() - t0)
+            best = min(best, (ts[1] - ts[0]) / (n_long - n_short))
+        return best
+
+    try:
+        t_fb_sus = _fb_sustained(bwd_backend)
+    except Exception as e:
+        _err("fwd_bwd_sustained", e)
+        t_fb_sus = None
 
     # ---- many-sphere leg: complex.scn (783 spheres) ---------------------
     # Driver-captured so the many-sphere numbers aren't tool-claimed only.
@@ -223,7 +289,17 @@ def main() -> None:
                 round(t_fwd_pl * 1e3, 3) if t_fwd_pl else None),
             "rays_per_sec_sustained": round(n_rays / t_sustained, 1),
             "pass_ms_sustained": round(t_sustained * 1e3, 3),
+            "pass_ms_sustained_fast_rng": (
+                round(t_sustained_rbg * 1e3, 3) if t_sustained_rbg
+                else None),
+            "rays_per_sec_sustained_fast_rng": (
+                round(n_rays / t_sustained_rbg, 1) if t_sustained_rbg
+                else None),
             "pass_ms_fwd_bwd": round(t_fb * 1e3, 3),
+            "pass_ms_fwd_bwd_sustained": (
+                round(t_fb_sus * 1e3, 3) if t_fb_sus else None),
+            "rays_per_sec_fwd_bwd_sustained": (
+                round(n_rays / t_fb_sus, 1) if t_fb_sus else None),
             "pass_ms_fwd_bwd_xla": (
                 round(t_fb_xla * 1e3, 3) if t_fb_xla else None),
             "segments_per_pass": segments,

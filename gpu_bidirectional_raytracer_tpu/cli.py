@@ -52,7 +52,8 @@ def cmd_render(args) -> int:
     r = Renderer(scene, orig, target, args.width, args.height,
                  cfg=_config(args.mode), seed=args.seed,
                  reference_dims=args.reference_dims,
-                 backend=args.backend, tile_rows=args.tile_rows)
+                 backend=args.backend, tile_rows=args.tile_rows,
+                 rng_impl="rbg" if args.fast_rng else None)
 
     if args.checkpoint and args.resume:
         restored = ckpt.restore(args.checkpoint, r.state)
@@ -62,21 +63,36 @@ def cmd_render(args) -> int:
 
     t0 = time.time()
     start = int(r.state.sample)
-    for s in range(start, args.spp):
+    # Chunked stepping (render_chunk) amortizes per-pass dispatch latency
+    # — the dominant cost of short passes over a remote-TPU link. Chunk
+    # boundaries respect snapshot/checkpoint cadence; chunk=1 is the
+    # legacy per-pass loop (always used for --mode light).
+    chunk = max(args.chunk, 1) if args.mode != "light" else 1
+    s = start
+    while s < args.spp:
+        k = min(chunk, args.spp - s)
+        if args.snapshot_every:
+            k = min(k, args.snapshot_every - (s % args.snapshot_every))
+        if args.checkpoint:
+            cad = max(args.snapshot_every or 16, 1)
+            k = min(k, cad - (s % cad))
         if args.mode == "light":
             r.step_light()
-        else:
+        elif k == 1:
             r.step()
+        else:
+            r.step_n(k)
         if s == start:
             import jax
 
             jax.block_until_ready(r.state.colors)
-        if args.snapshot_every and (s + 1) % args.snapshot_every == 0:
+        s += k
+        if args.snapshot_every and s % args.snapshot_every == 0:
             elapsed = time.time() - t0
-            name = film.snapshot_name(r.cfg.max_vlp, elapsed, s + 1)
+            name = film.snapshot_name(r.cfg.max_vlp, elapsed, s)
             film.write_ppm(np.asarray(r.state.colors), name)
-            print(f"pass {s + 1}: wrote {name}", file=sys.stderr)
-        if args.checkpoint and (s + 1) % max(args.snapshot_every or 16, 1) == 0:
+            print(f"pass {s}: wrote {name}", file=sys.stderr)
+        if args.checkpoint and s % max(args.snapshot_every or 16, 1) == 0:
             ckpt.save(args.checkpoint, r.state)
     elapsed = time.time() - t0
     from gpu_bidirectional_raytracer_tpu.utils.profiling import ThroughputMeter
@@ -168,6 +184,14 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=("auto", "xla", "pallas"), default="auto",
                    help="eye-trace implementation (pallas = fused TPU "
                         "megakernel, ~2x faster on TPU)")
+    p.add_argument("--fast-rng", dest="fast_rng", action="store_true",
+                   help="serving-mode tape: XLA hardware RngBitGenerator "
+                        "instead of replayable threefry (~2x faster "
+                        "passes on TPU; not bitwise-replayable across "
+                        "backends)")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="progressive passes fused per device program "
+                        "(render_chunk); 1 = one dispatch per pass")
     p.add_argument("--tile-rows", type=int, default=None,
                    help="trace in horizontal bands of N rows (bounds "
                         "memory for huge frames / many-sphere scenes)")

@@ -46,30 +46,46 @@ _PALLAS_SPHERE_LIMIT = 64
 
 
 def init_state(width: int, height: int, cfg: IntegratorConfig,
-               seed: int = 0) -> RenderState:
-    """Fresh accumulation state (the ``ReInit`` analogue, smallpt_cpu.c:373)."""
+               seed: int = 0, rng_impl: str | None = None) -> RenderState:
+    """Fresh accumulation state (the ``ReInit`` analogue, smallpt_cpu.c:373).
+
+    ``rng_impl``: PRNG implementation for the render tape. ``None`` (the
+    default) is the partitionable threefry contract — bitwise-replayable
+    across backends, shardings, and tilings (rng.py). ``'rbg'`` is the
+    FAST-TAPE serving mode: XLA's hardware RngBitGenerator, measured
+    ~140x cheaper than threefry on v5e (~0.01 vs ~0.98 ms/pass of the
+    cornell 512x512 tape — which is ~half the megakernel pass), still
+    counter-addressed/deterministic WITHIN one backend+process, but its
+    bit-stream is not guaranteed stable across XLA backends/versions, so
+    golden CPU==TPU replay and cross-impl resume do not apply. Every
+    draw still goes through `rng.site_uniforms` (the key's dtype carries
+    the impl); estimator and tape addressing are unchanged.
+    """
     return RenderState(
         colors=jnp.zeros((height, width, 3), dtype=jnp.float32),
         counter=jnp.zeros((height, width), dtype=jnp.int32),
         vpls=VplBuffer.zeros(cfg.vpl_depth, cfg.light_points),
         vlp_index=jnp.int32(0),
         sample=jnp.int32(0),
-        key=jax.random.key(seed),
+        key=jax.random.key(seed, impl=rng_impl),
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx", "direct_only",
+                                             "backend"))
 def render_pass(scene: Scene, cam: Camera, state: RenderState,
                 cfg: IntegratorConfig, width: int, height: int,
                 light_idx: tuple[int, ...],
                 direct_only: bool = False,
                 backend: str = "xla") -> RenderState:
-    """One progressive pass over every pixel. Pure.
-
-    Two jitted programs: the (cheap, conditional) `vpl_update` and the
-    fused eye pass. The VPL refresh runs as the SAME compiled program the
-    tiled driver uses — fusing it into the eye pass re-rounds its fma
-    contractions 1 ulp differently, which would break the tiled == untiled
-    bitwise guarantee (tests/test_render.py::TestTiledRendering).
+    """One progressive pass over every pixel. Pure; ONE jitted program
+    (so the stepped and `render_chunk` paths compile the same expression
+    — bitwise-equal pass-for-pass). The bitwise tiled == untiled
+    guarantee lives on the XLA banded path (`tiled_pass`), which keeps
+    `vpl_update` as the same compiled program the tiled driver uses; this
+    pallas fused-camera pass is its statistically-identical peak-
+    throughput realization (tests/test_render.py::TestTiledRendering).
 
     ``backend='pallas'`` runs the fused eye-trace megakernel
     (`ops.pallas_trace`) — ~2x the XLA tracer's throughput on TPU, same
@@ -79,6 +95,9 @@ def render_pass(scene: Scene, cam: Camera, state: RenderState,
     # -- Bidirectional schedule: refresh VPLs + slide window when due.
     if cfg.use_vpl and light_idx:
         vpls, vlp_index = vpl_update(scene, state, cfg, light_idx)
+        # Stage barrier: see tiled_pass — keeps this fused program's VPL
+        # subgraph rounding identical to the standalone vpl_update.
+        vpls, vlp_index = jax.lax.optimization_barrier((vpls, vlp_index))
     else:
         vpls, vlp_index = state.vpls, state.vlp_index
     return eye_accumulate_pass(scene, cam, state, vpls, vlp_index, cfg,
@@ -273,6 +292,92 @@ def eye_band_pass(scene: Scene, rays, cfg: IntegratorConfig,
     return rad.reshape(band_h, width, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx", "tile_rows",
+                                             "backend", "direct_only"))
+def tiled_pass(scene: Scene, cam: Camera, state: RenderState,
+               cfg: IntegratorConfig, width: int, height: int,
+               light_idx: tuple[int, ...], tile_rows: int | None,
+               backend: str = "xla",
+               direct_only: bool = False) -> RenderState:
+    """One full progressive pass via the BANDED program (one band when
+    ``tile_rows`` is None) — the pure body shared by `Renderer._step_tiled`
+    and `render_chunk` (many passes fused in one jit). Band boundaries
+    are static; every random draw is a window of the global tape, so any
+    ``tile_rows`` is bitwise-equal to the monolithic pass
+    (tests/test_render.py::TestTiledRendering). Jitted as ONE program so
+    the stepped and chunked paths compile the same expression (an eager
+    accumulate would round fma contractions 1 ulp differently than the
+    fused chunk body — measured on simple.scn)."""
+    if cfg.use_vpl and light_idx:
+        vpls, vlp_index = vpl_update(scene, state, cfg, light_idx)
+        # Stage barriers pin each stage's fusion to its own subgraph, so
+        # this one fused program rounds exactly like the per-stage
+        # programs did (XLA cross-stage fma re-fusion is 1-ulp visible),
+        # keeping stepped == chunked == tiled bitwise.
+        vpls, vlp_index = jax.lax.optimization_barrier((vpls, vlp_index))
+    else:
+        vpls, vlp_index = state.vpls, state.vlp_index
+    rays = frame_rays(cam, cfg, width, height, state.key, state.sample)
+    rays = jax.lax.optimization_barrier(rays)
+    rows = tile_rows or height
+    bands = []
+    y0 = 0
+    while y0 < height:
+        bh = min(rows, height - y0)
+        band_rays = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(
+                a, y0 * width, bh * width, axis=0), rays)
+        bands.append(eye_band_pass(
+            scene, band_rays, cfg, width, height, jnp.int32(y0), bh,
+            light_idx, state.key, state.sample, vpls, vlp_index,
+            backend, direct_only))
+        y0 += bh
+    radiance = jnp.concatenate(bands, axis=0)
+    radiance = jax.lax.optimization_barrier(radiance)
+    colors, counter = _accumulate(state.colors, state.counter, radiance,
+                                  cfg.max_samples)
+    return RenderState(colors=colors, counter=counter, vpls=vpls,
+                       vlp_index=vlp_index, sample=state.sample + 1,
+                       key=state.key)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx", "tile_rows",
+                                             "backend", "direct_only"))
+def render_chunk(scene: Scene, cam: Camera, state: RenderState,
+                 n_passes: Array, cfg: IntegratorConfig, width: int,
+                 height: int, light_idx: tuple[int, ...],
+                 tile_rows: int | None = None, backend: str = "xla",
+                 direct_only: bool = False) -> RenderState:
+    """``n_passes`` progressive passes chained INSIDE one jitted program.
+
+    The serving-mode fast path: per-pass dispatch costs one host->device
+    round trip — ~100 us locally, ~90 ms over a remote-TPU tunnel —
+    which at the megakernel's ~1.7 ms/pass (cornell 512x512, v5e) makes
+    the dispatch, not the render, the bottleneck of `Renderer.step`
+    loops. Chaining the passes in a dynamic-trip-count `fori_loop`
+    amortizes it away (measured sustained 1.72 ms/pass vs 3.42 ms
+    stepped over the tunnel). ``n_passes`` is a TRACED scalar: one
+    compile serves any chunk size.
+
+    Semantics: the loop body is exactly `Renderer.step`'s pass body —
+    the fused in-kernel-camera megakernel for the untiled pallas
+    backend, the banded program otherwise — so a chunked render equals
+    the stepped render pass-for-pass; asserted bitwise in
+    tests/test_render.py::TestChunkedRendering on the XLA backend.
+    """
+    if backend == "pallas" and not tile_rows:
+        def body(st):
+            return render_pass(scene, cam, st, cfg, width, height,
+                               light_idx, direct_only, backend)
+    else:
+        def body(st):
+            return tiled_pass(scene, cam, st, cfg, width, height,
+                              light_idx, tile_rows, backend, direct_only)
+    return jax.lax.fori_loop(0, n_passes, lambda i, st: body(st), state)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "light_idx"))
 def vpl_update(scene: Scene, state: RenderState, cfg: IntegratorConfig,
                light_idx: tuple[int, ...]):
@@ -308,7 +413,8 @@ class Renderer:
                  cam_target: Sequence[float], width: int, height: int,
                  cfg: IntegratorConfig | None = None, seed: int = 0,
                  reference_dims: bool = False, backend: str = "auto",
-                 tile_rows: int | None = None):
+                 tile_rows: int | None = None,
+                 rng_impl: str | None = None):
         if reference_dims:
             width, height = cam_mod.reference_dims(width, height)
         if backend == "auto":
@@ -323,13 +429,14 @@ class Renderer:
         self.backend = backend
         self.tile_rows = tile_rows
         self.seed = seed
+        self.rng_impl = rng_impl
         self.cfg = cfg or IntegratorConfig()
         self.width, self.height = width, height
         self.scene = scene
         self.camera = Camera.make(cam_orig, cam_target, width, height,
                                   self.cfg.fov_deg)
         self.light_idx = static_light_indices(scene)
-        self.state = init_state(width, height, self.cfg, seed)
+        self.state = init_state(width, height, self.cfg, seed, rng_impl)
 
     def step(self, direct_only: bool = False) -> RenderState:
         # The XLA backend always goes through the banded program (one band
@@ -356,45 +463,43 @@ class Renderer:
         return self.state
 
     def _step_tiled(self, direct_only: bool = False) -> RenderState:
-        st = self.state
-        if self.cfg.use_vpl and self.light_idx:
-            vpls, vlp_index = vpl_update(self.scene, st, self.cfg,
-                                         self.light_idx)
-        else:
-            vpls, vlp_index = st.vpls, st.vlp_index
-        rays = frame_rays(self.camera, self.cfg, self.width, self.height,
-                          st.key, st.sample)
-        tile_rows = self.tile_rows or self.height
-        bands = []
-        y0 = 0
-        while y0 < self.height:
-            bh = min(tile_rows, self.height - y0)
-            band_rays = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(
-                    a, y0 * self.width, bh * self.width, axis=0), rays)
-            bands.append(eye_band_pass(
-                self.scene, band_rays, self.cfg, self.width, self.height,
-                jnp.int32(y0), bh, self.light_idx, st.key, st.sample,
-                vpls, vlp_index, self.backend, direct_only))
-            y0 += bh
-        radiance = jnp.concatenate(bands, axis=0)
-        colors, counter = _accumulate(st.colors, st.counter, radiance,
-                                      self.cfg.max_samples)
-        self.state = RenderState(colors=colors, counter=counter,
-                                 vpls=vpls, vlp_index=vlp_index,
-                                 sample=st.sample + 1, key=st.key)
+        self.state = tiled_pass(self.scene, self.camera, self.state,
+                                self.cfg, self.width, self.height,
+                                self.light_idx, self.tile_rows,
+                                self.backend, direct_only)
         return self.state
 
-    def render(self, spp: int, direct_only: bool = False) -> np.ndarray:
-        for _ in range(spp):
-            self.step(direct_only)
+    def step_n(self, n_passes: int, direct_only: bool = False) -> RenderState:
+        """``n_passes`` progressive passes in ONE device program
+        (`render_chunk`) — the serving-mode path that amortizes per-pass
+        dispatch latency. Equal to ``n_passes`` `step` calls."""
+        self.state = render_chunk(self.scene, self.camera, self.state,
+                                  jnp.int32(n_passes), self.cfg,
+                                  self.width, self.height, self.light_idx,
+                                  self.tile_rows, self.backend, direct_only)
+        return self.state
+
+    def render(self, spp: int, direct_only: bool = False,
+               chunk: int = 1) -> np.ndarray:
+        """Accumulate ``spp`` passes; ``chunk > 1`` runs them in jit-fused
+        chunks of that many passes (`step_n`) — same image, fewer
+        dispatches."""
+        done = 0
+        while done < spp:
+            k = min(max(chunk, 1), spp - done)
+            if k == 1:
+                self.step(direct_only)
+            else:
+                self.step_n(k, direct_only)
+            done += k
         return np.asarray(self.state.colors)
 
     # -- interactive-equivalent edits (display_func.c:278-437) --------------
 
     def reset(self) -> None:
         """``ReInit``: restart accumulation, keep scene+camera."""
-        self.state = init_state(self.width, self.height, self.cfg, self.seed)
+        self.state = init_state(self.width, self.height, self.cfg, self.seed,
+                                self.rng_impl)
 
     def move_camera(self, axis: str, amount: float) -> None:
         self.camera = cam_mod.translate(self.camera, axis, amount,

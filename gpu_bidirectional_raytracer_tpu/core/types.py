@@ -230,6 +230,17 @@ class IntegratorConfig:
     # the tracer, so it composes with every backend including the pallas
     # adjoint. See diff/gradients.py::_silhouette_carrier.
     sil_grad_tau: float = 0.0
+    # How many PERFECT-MIRROR (SPEC) bounces the silhouette carrier
+    # follows past the primary hit when ``sil_grad_tau > 0``: at depth k
+    # the carrier relaxes the coverage of the k-th reflected ray's argmin
+    # hit, tinted by the (stopped) product of mirror albedos, so spheres
+    # seen through a CHAIN of mirrors carry coverage gradient too. 1 =
+    # the single mirror leg of round 2; the walk stops early on lanes
+    # whose hit is not SPEC. Diffuse-bounce (truly indirect) silhouettes
+    # remain detached — relaxing them would smear the carrier over the
+    # hemisphere integral. Cost: one extra O(S) intersect + carrier leg
+    # per added depth, only when sil_grad_tau > 0.
+    sil_spec_depth: int = 2
     # Emulate the reference's scheduler defect for parity studies: its VPL
     # gather window slides off the end of ``dev_lp`` into stale memory
     # instead of wrapping (smallpt_cpu.c:292 + device.cu:510-514). With

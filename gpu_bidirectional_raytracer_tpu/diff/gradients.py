@@ -38,9 +38,12 @@ Known estimator limits (measured, see tests):
   bounce-0 argmin hit id) AND mirror-seen silhouettes (one specular
   bounce) carry gradient when ``cfg.sil_grad_tau > 0`` via the
   zero-primal coverage carrier `_silhouette_carrier` (applied outside
-  the tracer, so it composes with the pallas adjoint). Remaining
-  zero-gradient structure: deeper indirect silhouettes and shadow
-  segments whose blocker straddles a segment endpoint.
+  the tracer, so it composes with the pallas adjoint); the carrier
+  follows mirror CHAINS up to ``cfg.sil_spec_depth`` SPEC bounces.
+  Remaining zero-gradient structure: diffuse-bounce (truly indirect)
+  silhouettes, through-glass (lens) background motion, and the hard
+  near-endpoint self-intersection gate of shadow segments (the far
+  endpoint is relaxed two-sidedly by `intersect.soft_visibility`).
 """
 
 from __future__ import annotations
@@ -104,15 +107,22 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
     own depth-0 NEE cannot reach the image.
 
     Scope: bounce-0 silhouettes (the ones the camera sees directly) plus
-    ONE specular reflection — lanes whose primary hit is a perfect mirror
-    (``refl == SPEC``) apply the identical carrier to the argmin hit of
-    the reflected ray, so a sphere seen IN a mirror also carries coverage
-    gradient (on such lanes the pixel is exactly ``c_mirror * L(reflected
-    ray)``, so the same L_fg/L_bg construction applies with the
-    background estimate tinted by the mirror albedo and the depth-1 tape
-    feeding its NEE). Deeper/indirect silhouettes remain detached.
-    Capability upgrade of the sphere-editing loop at
-    ``display_func.c:347-369``, same chain as ``vis_grad_tau``.
+    up to ``cfg.sil_spec_depth`` PERFECT-MIRROR reflections — the walk
+    follows lanes whose current hit is a perfect mirror (``refl ==
+    SPEC``) and applies the identical carrier to the argmin hit of each
+    reflected ray, so a sphere seen through a CHAIN of mirrors carries
+    coverage gradient (on such lanes the pixel is exactly ``prod
+    c_mirror * L(reflected ray)``, so the same L_fg/L_bg construction
+    applies with the background estimate tinted by the stopped mirror-
+    albedo product and the depth-k tape feeding its NEE). The chain
+    geometry itself is detached (hit points/reflection directions from
+    the stopped scene): each leg carries ONLY the coverage of its own
+    terminal hit. Diffuse-bounce (truly indirect) silhouettes and
+    through-glass (lens) silhouettes remain detached — the REFR rim
+    itself does carry the carrier (TestRefrSilhouette), but the walk
+    stops there rather than refracting. Capability upgrade of the
+    sphere-editing loop at ``display_func.c:347-369``, same chain as
+    ``vis_grad_tau``.
     """
     n = o.shape[0]
     sg = jax.lax.stop_gradient
@@ -171,17 +181,24 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
                                  * active_m)[:, None]
         return carrier - sg(carrier)
 
-    out = leg(o, d, jnp.ones((n,), jnp.float32),
-              jnp.ones((n, 3), jnp.float32), 0)
-
-    # ---- mirror leg: coverage of the sphere seen via a SPEC primary ----
-    hit0, t0, hid0 = isect.intersect(scene0, o, d)
-    p0, _, c0, refl0 = isect.gather_sphere_attrs(scene0, hid0)
-    hp0 = o + jnp.where(hit0, t0, 1.0)[:, None] * d
-    n0 = vm.norm(hp0 - p0, eps=1e-20)
-    r1 = d - 2.0 * vm.dot(n0, d)[:, None] * n0
-    spec_m = (hit0 & (refl0 == SPEC)).astype(jnp.float32)
-    out = out + leg(hp0, r1, spec_m, c0, 1)
+    # ---- specular-chain walk: primary leg + one leg per SPEC bounce ----
+    o_l, d_l = o, d
+    active = jnp.ones((n,), jnp.float32)
+    tint = jnp.ones((n, 3), jnp.float32)
+    out = jnp.zeros((n, 3), jnp.float32)
+    depth_cap = min(max(int(cfg.sil_spec_depth), 0), cfg.max_depth - 1)
+    for k in range(depth_cap + 1):
+        out = out + leg(o_l, d_l, active, tint, k)
+        if k == depth_cap:
+            break
+        hit_k, t_k, hid_k = isect.intersect(scene0, o_l, d_l)
+        p_k, _, c_k, refl_k = isect.gather_sphere_attrs(scene0, hid_k)
+        hp_k = o_l + jnp.where(hit_k, t_k, 1.0)[:, None] * d_l
+        n_k = vm.norm(hp_k - p_k, eps=1e-20)
+        r_k = d_l - 2.0 * vm.dot(n_k, d_l)[:, None] * n_k
+        active = active * (hit_k & (refl_k == SPEC)).astype(jnp.float32)
+        tint = tint * c_k
+        o_l, d_l = hp_k, r_k
     return out
 
 

@@ -258,6 +258,93 @@ class TestMirrorSilhouette:
         assert abs(got_sil - fd) / abs(fd) < 0.35, (got_sil, fd)
 
 
+class TestTwoMirrorSilhouette:
+    """Mirror-CHAIN silhouettes (``cfg.sil_spec_depth``): a sphere seen
+    only through TWO mirrors (periscope) carries coverage gradient at
+    ``sil_spec_depth=2`` and none at ``1`` (round-2 scope).
+
+    Geometry (probed; the first cut at B-plane z=160 / target z=100 left
+    a 5-pixel reflected disc and FD in the noise): near-flat mirror A
+    (rad-1000, surface through z=0) fills the view; near-flat mirror B
+    (surface through z=100) sits just behind the camera (z=60). One
+    bounce off A shows the virtual camera at (0,0,-60) looking +z
+    (vertical half-extent ~0.525*d); two bounces show the virtual
+    camera at (0,0,260) looking -z. The target (rad 28 at (0,80,32))
+    is OUTSIDE the one-bounce cone, INSIDE the two-bounce cone, clear
+    of mirror A's sag, and subtends ~7 deg from the second virtual
+    camera — a 41-pixel reflected disc (probed: visible ONLY via
+    A -> B). Its light (0,120,90) clears both mirror surfaces on the
+    shadow segment and is outside every virtual cone.
+    """
+
+    @pytest.fixture(scope="class")
+    def psetup(self):
+        from gpu_bidirectional_raytracer_tpu.core.types import SPEC
+
+        scene = Scene(
+            rad=jnp.array([1000.0, 1000.0, 28.0, 6.0]),
+            p=jnp.array([[0.0, 0.0, -1000.0],   # mirror A, plane z~0
+                         [0.0, 0.0, 1100.0],    # mirror B, plane z~100
+                         [0.0, 80.0, 32.0],     # target: only via A->B
+                         [0.0, 120.0, 90.0]]),  # light above the target
+            e=jnp.array([[0.0, 0.0, 0.0],
+                         [0.0, 0.0, 0.0],
+                         [0.0, 0.0, 0.0],
+                         [40.0, 40.0, 40.0]]),
+            c=jnp.array([[0.9, 0.9, 0.9],
+                         [0.9, 0.9, 0.9],
+                         [0.7, 0.4, 0.2],
+                         [0.0, 0.0, 0.0]]),
+            refl=jnp.array([SPEC, SPEC, 0, 0], jnp.int32),
+        )
+        cam = Camera.make(jnp.array([0.0, 0.0, 60.0]),
+                          jnp.array([0.0, 0.0, 0.0]), W, H)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        wts = jax.random.uniform(jax.random.key(7), (H, W, 3))
+        return scene, cam, li, key, wts
+
+    def _pgrads(self, psetup, tau, param, idx, eps, spec_depth=2, spp=8):
+        scene, cam, li, key, wts = psetup
+        cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                  sil_grad_tau=tau,
+                                  sil_spec_depth=spec_depth)
+
+        def render_fn(sc):
+            return G.render_radiance(sc, cam, key, cfg, W, H, li, spp)
+
+        auto = jax.grad(lambda sc: jnp.sum(wts * render_fn(sc)),
+                        allow_int=True)(scene)
+        fd = float((np.asarray(wts)
+                    * G.pixel_grad_fd(scene, render_fn, param, idx,
+                                      eps)).sum())
+        return float(np.asarray(getattr(auto, param))[idx]), fd
+
+    def test_seen_only_through_two_mirrors(self, psetup):
+        # Premise: shrink mirror B and the target leaves the image.
+        scene, cam, li, key, _ = psetup
+        cfg = IntegratorConfig.cpu_golden()
+        no_b = scene.replace(rad=scene.rad.at[1].set(1e-3))
+        img = np.asarray(G.render_radiance(no_b, cam, key, cfg,
+                                           W, H, li, 2))
+        moved = no_b.replace(p=no_b.p.at[2, 1].add(5.0))
+        img2 = np.asarray(G.render_radiance(moved, cam, key, cfg,
+                                            W, H, li, 2))
+        np.testing.assert_array_equal(img, img2)
+
+    def test_chain_radius_matches_fd(self, psetup):
+        # Depth-1 carrier (round-2 scope) misses the twice-reflected
+        # disc's coverage flux (probed: 8.3 vs FD 25.5 — the residue is
+        # detached shading); the depth-2 leg restores it (29.1, 14% err).
+        got_d1, fd = self._pgrads(psetup, 2.0, "rad", (2,), 1.0,
+                                  spec_depth=1)
+        got_d2, _ = self._pgrads(psetup, 2.0, "rad", (2,), 1.0,
+                                 spec_depth=2)
+        assert abs(got_d1 - fd) / abs(fd) > 0.5, (got_d1, fd)
+        assert np.sign(got_d2) == np.sign(fd), (got_d2, fd)
+        assert abs(got_d2 - fd) / abs(fd) < 0.35, (got_d2, fd)
+
+
 class TestRefrSilhouette:
     """REFR (glass) primary silhouettes: the carrier fires on the argmin
     hit whatever its material, so a glass sphere's visible rim carries

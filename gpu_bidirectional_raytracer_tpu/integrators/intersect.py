@@ -35,6 +35,18 @@ from gpu_bidirectional_raytracer_tpu.core.types import EPSILON, Scene
 
 _BIG = 1e20  # reference's 'inf' initializer (geomfunc.h:120)
 
+# The FAR-endpoint relaxation of `soft_visibility` uses a NARROWER band
+# than the silhouette relaxation: width = ENDPOINT_TAU_FRACTION * tau.
+# Rationale (measured, round-3 sweep on the TestEndpointStraddle scene):
+# the endpoint crossing is sampled densely — every shadow ray draws a
+# fresh light-surface point, so maxt sweeps its span many times per
+# pixel — while the silhouette band must bridge pixel-sparse coverage.
+# The sigmoid-bandwidth bias is therefore avoidable here: carrier/FD
+# ratio 2.36 (axial) / 1.92 (radius) at width tau=1, converging to
+# 1.07 / 0.94 at tau/4 with no measurable variance penalty at spp=8.
+# ops/pallas_grad.py mirrors this constant — keep in lockstep.
+ENDPOINT_TAU_FRACTION = 0.25
+
 
 def sphere_distances(scene: Scene, o: Array, d: Array,
                      eps: float = EPSILON, method: str = "direct") -> Array:
@@ -187,11 +199,15 @@ def soft_visibility(scene: Scene, o: Array, d: Array, maxt: Array,
       Differentiating through ``maxt`` also gives the LIGHT/VPL position
       its endpoint-crossing gradient. At silhouettes (``t1 -> b``) this
       factor smoothly recovers the old mid-chord test. The endpoint
-      width is ``tau`` SCENE UNITS (no ``r_s`` factor — ``t1`` crossing
-      ``maxt`` is a length-space event whose rate is 1, unlike ``det``
-      whose silhouette rate is ``2 r_s``); with the shared ``tau * r_s``
-      width a mid-segment big blocker saw a not-yet-saturated sigmoid
-      and its radius gradient distorted ~25% (measured).
+      width is ``ENDPOINT_TAU_FRACTION * tau`` SCENE UNITS (no ``r_s``
+      factor — ``t1`` crossing ``maxt`` is a length-space event whose
+      rate is 1, unlike ``det`` whose silhouette rate is ``2 r_s``; with
+      the shared ``tau * r_s`` width a mid-segment big blocker saw a
+      not-yet-saturated sigmoid and its radius gradient distorted ~25%,
+      measured). The fraction kills the sigmoid-bandwidth overshoot the
+      full-``tau`` width had (carrier/FD 2.4 -> 1.07 axial; see the
+      constant's derivation note) — affordable because the endpoint
+      event is densely sampled by the light-UV tape.
 
     The near condition stays HARD via stop-gradiented ``b > EPSILON``: it
     rejects the self-intersection case (a vertex's own sphere has
@@ -223,7 +239,8 @@ def soft_visibility(scene: Scene, o: Array, d: Array, maxt: Array,
     # (d sqrt(max(det, 1e-6)) vanishes for det <= 1e-6) — the same
     # bound as sphere_distances' root.
     t1 = b - jnp.sqrt(jnp.maximum(det, 1e-6))
-    endpoint = jax.nn.sigmoid((maxt[:, None] - t1) / max(tau, 1e-6))
+    endpoint = jax.nn.sigmoid((maxt[:, None] - t1)
+                              / max(ENDPOINT_TAU_FRACTION * tau, 1e-6))
     gate = jax.lax.stop_gradient(b > EPSILON).astype(o.dtype)
     blocked = edge * endpoint * gate
     if exclude_id is not None:

@@ -65,6 +65,10 @@ from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
     _vpl_table,
 )
 
+from gpu_bidirectional_raytracer_tpu.integrators.intersect import (
+    ENDPOINT_TAU_FRACTION as _EP_FRAC,
+)
+
 _NC, _NT = 1.0, 1.5
 _BIG = 1e20
 _DET_CLAMP = 1e-6   # intersect.py:75 tangency clamp
@@ -193,10 +197,11 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         width = jnp.maximum(f32(cfg.vis_grad_tau) * sph(s, 0), f32(1e-6))
         edge = 1.0 / (1.0 + jnp.exp(-det_s / width))
         t1 = b_s - jnp.sqrt(jnp.maximum(det_s, f32(1e-6)))
-        # Endpoint width = tau scene units (length-space event; see
-        # intersect.soft_visibility).
+        # Endpoint width = ENDPOINT_TAU_FRACTION * tau scene units
+        # (length-space event, narrow band; intersect.soft_visibility
+        # and intersect.ENDPOINT_TAU_FRACTION — keep in lockstep).
         endp = 1.0 / (1.0 + jnp.exp(
-            -(maxt - t1) / f32(max(cfg.vis_grad_tau, 1e-6))))
+            -(maxt - t1) / f32(max(_EP_FRAC * cfg.vis_grad_tau, 1e-6))))
         gate_b = _f32m(b_s > EPSILON)
         return edge, gate_b, endp, width, b_s, det_s, (opx_s, opy_s, opz_s)
 
@@ -214,7 +219,8 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         blocked = E * endp
         denom = 1.0 - blocked
         so = bsoft * jnp.where(denom > 1e-6, soft / denom, 0.0)
-        gd = endp * (1.0 - endp) / f32(max(cfg.vis_grad_tau, 1e-6))
+        gd = endp * (1.0 - endp) / f32(max(_EP_FRAC * cfg.vis_grad_tau,
+                                           1e-6))
         dsq = _safe_inv_sqrt_grad(det_s)
         bdet = -so * (gate * edge * (1.0 - edge) / width * endp
                       + E * gd * dsq)

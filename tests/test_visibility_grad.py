@@ -185,12 +185,16 @@ class TestEndpointStraddle:
     Geometry: floor + light (rad 5 at y=40) + a blocker overhead whose
     bottom (y=40) reaches the light's sample span. Measured calibration
     (round-3 probes): the detached estimator is BLIND to the blocker's
-    vertical motion/growth (<=10% of FD); the tau=1 carrier restores the
-    sign with a ~2x relaxation overshoot (the sigmoid band integrates
-    the approach over ~tau units while the hard transition is a set of
-    per-sample crossings) — asserted as a [1/3, 3] magnitude band. The
-    light's own endpoint gradient is additive on top of a large detached
-    shading term; there the carrier closes ~70% of the FD gap.
+    vertical motion/growth (<=10% of FD). With the full-tau endpoint
+    band the carrier overshot ~2x (sigmoid-bandwidth bias); the narrow
+    band (`intersect.ENDPOINT_TAU_FRACTION` = tau/4, sweep-calibrated:
+    ratio 2.36 -> 1.06 axial / 1.92 -> 0.94 radius at this tape,
+    1.1-1.3 across tapes) brings blocker motion/growth into a
+    [0.6, 1.6] band. Tradeoff: the LIGHT-position closure (additive on
+    a large detached shading term) weakens at low spp — the narrow
+    band sees fewer maxt crossings per tape (err-frac 0.69 at spp=8,
+    0.50 at spp=32, vs ~0.3 at full tau) — accepted because blocker
+    calibration is the endpoint carrier's primary job.
     """
 
     @pytest.fixture(scope="class")
@@ -233,20 +237,23 @@ class TestEndpointStraddle:
         got_t, _ = self._grads(esetup, 1.0, "p", (2, 1), 1.0)
         assert abs(got_det) < 0.1 * abs(fd), (got_det, fd)     # blind
         assert np.sign(got_t) == np.sign(fd), (got_t, fd)
-        assert 1 / 3 < got_t / fd < 3.0, (got_t, fd)
+        assert 0.6 < got_t / fd < 1.6, (got_t, fd)   # measured 1.06
 
     def test_blocker_radius(self, esetup):
         got_det, fd = self._grads(esetup, 0.0, "rad", (2,), 1.0)
         got_t, _ = self._grads(esetup, 1.0, "rad", (2,), 1.0)
         assert abs(got_det) < 0.1 * abs(fd), (got_det, fd)
         assert np.sign(got_t) == np.sign(fd), (got_t, fd)
-        assert 1 / 3 < got_t / fd < 3.0, (got_t, fd)
+        assert 0.6 < got_t / fd < 1.6, (got_t, fd)   # measured 0.94
 
     def test_light_endpoint_gradient(self, esetup):
         # Moving the light moves every segment endpoint across the
-        # blocker: the carrier must close most of the detached estimator's
-        # FD gap (shading terms dominate the absolute value).
+        # blocker: the carrier must close a real part of the detached
+        # estimator's FD gap (shading terms dominate the absolute
+        # value). With the narrow endpoint band the closure at spp=8 is
+        # 31% (err-frac 0.69; 50% at spp=32) — see the class docstring's
+        # measured tradeoff.
         got_det, fd = self._grads(esetup, 0.0, "p", (1, 1), 1.0)
         got_t, _ = self._grads(esetup, 1.0, "p", (1, 1), 1.0)
-        assert abs(got_t - fd) < 0.5 * abs(got_det - fd), (got_det, got_t,
+        assert abs(got_t - fd) < 0.8 * abs(got_det - fd), (got_det, got_t,
                                                            fd)

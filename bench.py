@@ -9,8 +9,14 @@ Times, on the Cornell box at 512x512:
   (VPL) estimator — the framework's headline capability — on both the
   hand-written pallas adjoint (`ops.pallas_grad`) and the XLA remat path.
 
-The headline metric stays primary-rays/sec fwd+bwd for cross-round
-comparability; `extra` adds the bounce-aware numbers the reference's
+The headline metric is primary-rays/sec fwd+bwd, measured as chained
+steps INSIDE one jit (gradient-accumulation shape, differenced trip
+counts so the dispatch round trip cancels) — the device's true
+per-step time. Rounds 1-2 timed per-dispatch calls over the remote-TPU
+tunnel, which buried single-digit-ms steps under ~90 ms RTT — or, worse,
+re-timed memoized identical dispatches as near-zero (both measured;
+tools/bench_megakernel.py) — so rounds 1-2 numbers are not comparable.
+`extra` adds the bounce-aware numbers the reference's
 meter never had (``smallpt_cpu.c:282-287`` counts primary samples only):
 traced segments/sec (extension rays + NEE/VPL shadow rays, alive lanes
 only) and a sphere-test FLOP model with a %-of-VPU-peak LOWER bound, so
@@ -45,14 +51,13 @@ _VPU_PEAK_FLOPS = 8 * 128 * 2 * 0.94e9
 _FLOPS_PER_SPHERE_TEST = 26.0
 
 
-def _timeit(fn, *args, warmup=2, iters=5):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+# NOTE there is deliberately no per-dispatch _timeit helper: repeated
+# dispatches of IDENTICAL (args, executable) are memoized by the remote-
+# TPU tunnel (a 52 ms step re-timed as 2.4 ms once the server had seen
+# it), and varying-arg single dispatches pay a noisy 80-200 ms RTT that
+# buries single-digit-ms kernels (rounds 1-2 numbers were RTT-bound).
+# Every leg below times chained device-side work inside one jit and
+# differences two trip counts so the RTT cancels.
 
 
 def _sustained(chunk_fn, state, n_short=8, n_long=72, reps=3):
@@ -112,9 +117,6 @@ def main() -> None:
     # ---- forward progressive pass --------------------------------------
     state = init_state(width, height, cfg)
 
-    def fwd(state):
-        return render_pass(scene, cam, state, cfg, width, height, light_idx)
-
     def fwd_pallas(state):
         return render_pass(scene, cam, state, cfg, width, height, light_idx,
                            False, "pallas")
@@ -136,13 +138,19 @@ def main() -> None:
         errors[leg] = f"{type(e).__name__}: {e}"[:300]
 
     try:
-        t_fwd_pl = _timeit(fwd_pallas, state)
+        jax.block_until_ready(fwd_pallas(state))  # smoke: pallas routes
         t_sustained = _sustained(chunk_pallas, state)
+        t_fwd_pl = t_sustained
     except Exception as e:
         _err("fwd_pallas", e)
         t_fwd_pl = None
         t_sustained = _sustained(chunk_xla, state)
-    t_fwd = _timeit(fwd, state)
+    try:
+        t_sustained_xla = _sustained(chunk_xla, state, n_long=40)
+    except Exception as e:
+        _err("sustained_xla", e)
+        t_sustained_xla = None
+    t_fwd = t_sustained_xla or t_sustained
 
     # Fast-tape serving mode (rng_impl='rbg'): same estimator/kernel, the
     # threefry tape (~half the pass) swapped for the hardware bit
@@ -171,35 +179,18 @@ def main() -> None:
     # ---- fwd+bwd training step: bidirectional (VPL) estimator ----------
     tgt = jnp.zeros((height, width, 3), jnp.float32)
 
-    def fwd_bwd_pallas():
-        return G.render_loss_grad(scene, cam, key, tgt, cfg,
-                                  width, height, light_idx, 1,
-                                  backend="pallas")
-
-    def fwd_bwd_xla():
-        return G.render_loss_grad(scene, cam, key, tgt, cfg,
-                                  width, height, light_idx, 1)
-
-    try:
-        t_fb = _timeit(fwd_bwd_pallas)
-        bwd_backend = "pallas"
-    except Exception as e:
-        _err("fwd_bwd_pallas", e)
-        t_fb = _timeit(fwd_bwd_xla)
-        bwd_backend = "xla"
-    t_fb_xla = (_timeit(fwd_bwd_xla)
-                if os.environ.get("BENCH_SKIP_XLA_BWD") != "1" else None)
-
-    # Sustained training step: fwd+bwd evals chained inside ONE jit
-    # (gradient-accumulation shape) — the per-step device time net of
-    # dispatch latency, same differencing as _sustained.
-    def _fb_sustained(backend, n_short=4, n_long=36, reps=3):
+    # Training step: fwd+bwd evals chained inside ONE jit (gradient-
+    # accumulation shape) — the per-step device time, same differencing
+    # as _sustained; fresh fold_in'd keys per rep defeat server-side
+    # memoization of identical dispatches.
+    def _fb_sustained(bscene, bcam, btgt, bw, bh, bli, backend,
+                      n_short=4, n_long=36, reps=3):
         @jax.jit
         def loop(key, n):
             def body(i, acc):
                 k = jax.random.fold_in(key, i)
-                loss, g = G.render_loss_grad(scene, cam, k, tgt, cfg,
-                                             width, height, light_idx, 1,
+                loss, g = G.render_loss_grad(bscene, bcam, k, btgt, cfg,
+                                             bw, bh, bli, 1,
                                              backend=backend)
                 return acc + loss + jnp.sum(g.p)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -207,8 +198,6 @@ def main() -> None:
         jax.block_until_ready(loop(key, jnp.int32(2)))
         best = float("inf")
         for r in range(reps):
-            # fresh key per rep: defeats server-side memoization of
-            # identical (args, executable) dispatches over the tunnel.
             k = jax.random.fold_in(key, jnp.uint32(0xB0 + r))
             ts = []
             for n in (n_short, n_long):
@@ -219,10 +208,23 @@ def main() -> None:
         return best
 
     try:
-        t_fb_sus = _fb_sustained(bwd_backend)
+        t_fb = _fb_sustained(scene, cam, tgt, width, height, light_idx,
+                             "pallas")
+        bwd_backend = "pallas"
     except Exception as e:
-        _err("fwd_bwd_sustained", e)
-        t_fb_sus = None
+        _err("fwd_bwd_pallas", e)
+        t_fb = _fb_sustained(scene, cam, tgt, width, height, light_idx,
+                             "xla")
+        bwd_backend = "xla"
+    try:
+        t_fb_xla = (_fb_sustained(scene, cam, tgt, width, height,
+                                  light_idx, "xla", n_long=16)
+                    if os.environ.get("BENCH_SKIP_XLA_BWD") != "1"
+                    else None)
+    except Exception as e:
+        _err("fwd_bwd_xla", e)
+        t_fb_xla = None
+    t_fb_sus = t_fb
 
     # ---- many-sphere leg: complex.scn (783 spheres) ---------------------
     # Driver-captured so the many-sphere numbers aren't tool-claimed only.
@@ -243,24 +245,23 @@ def main() -> None:
             cli = static_light_indices(cscene)
             cstate = init_state(cw, ch, cfg)
 
-            def cfwd(st):
-                # auto routes >64-sphere scenes to the per-depth bounce
-                # kernel on TPU (ops.pallas_bounce).
-                return render_pass(cscene, ccam, st, cfg, cw, ch, cli,
-                                   False, "auto")
+            def cchunk(st, n):
+                # 'pallas' routes >64-sphere scenes to the per-depth
+                # bounce kernel (ops.pallas_bounce) inside render_pass;
+                # 'auto' is a Renderer-level alias, not a backend.
+                return render_chunk(cscene, ccam, st, n, cfg, cw, ch,
+                                    cli, None, "pallas")
 
             complex_extra["complex_ms_fwd"] = round(
-                _timeit(cfwd, cstate, warmup=1, iters=3) * 1e3, 3)
+                _sustained(cchunk, cstate, n_short=2, n_long=12,
+                           reps=2) * 1e3, 3)
 
             ctgt = jnp.zeros((ch, cw, 3), jnp.float32)
-
-            def cfb():
-                return G.render_loss_grad(cscene, ccam, key, ctgt, cfg,
-                                          cw, ch, cli, 1, backend="pallas")
-
             try:
                 complex_extra["complex_ms_fwd_bwd"] = round(
-                    _timeit(cfb, warmup=1, iters=3) * 1e3, 3)
+                    _fb_sustained(cscene, ccam, ctgt, cw, ch, cli,
+                                  "pallas", n_short=2, n_long=8,
+                                  reps=2) * 1e3, 3)
                 complex_extra["complex_bwd_backend"] = "pallas_hybrid"
             except Exception as e:
                 _err("complex_fwd_bwd_pallas", e)
@@ -273,9 +274,10 @@ def main() -> None:
 
     dev = jax.devices()[0]
     t_best_fwd = t_fwd_pl if t_fwd_pl else t_fwd
+    t_headline = t_fb_sus if t_fb_sus else t_fb
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_fwd_bwd_cornell",
-        "value": round(n_rays / t_fb, 1),
+        "value": round(n_rays / t_headline, 1),
         "unit": "rays/s",
         "vs_baseline": 1.0,
         "extra": {
@@ -289,13 +291,15 @@ def main() -> None:
                 round(t_fwd_pl * 1e3, 3) if t_fwd_pl else None),
             "rays_per_sec_sustained": round(n_rays / t_sustained, 1),
             "pass_ms_sustained": round(t_sustained * 1e3, 3),
+            "pass_ms_sustained_xla": (
+                round(t_sustained_xla * 1e3, 3) if t_sustained_xla
+                else None),
             "pass_ms_sustained_fast_rng": (
                 round(t_sustained_rbg * 1e3, 3) if t_sustained_rbg
                 else None),
             "rays_per_sec_sustained_fast_rng": (
                 round(n_rays / t_sustained_rbg, 1) if t_sustained_rbg
                 else None),
-            "pass_ms_fwd_bwd": round(t_fb * 1e3, 3),
             "pass_ms_fwd_bwd_sustained": (
                 round(t_fb_sus * 1e3, 3) if t_fb_sus else None),
             "rays_per_sec_fwd_bwd_sustained": (

@@ -70,6 +70,37 @@ def _cells(img: np.ndarray) -> np.ndarray:
         h // CELL, CELL, w // CELL, CELL, 3).mean(axis=(1, 3))
 
 
+def evaluate_rung(full: np.ndarray, head: np.ndarray,
+                  ref: np.ndarray) -> tuple[dict, bool]:
+    """The rung acceptance: same-tape cross-backend parity of the head
+    legs (deterministic — sub-percent bounds; knife-edge decision flips
+    only) + finiteness of the full-config artifact render. Pure, so
+    tests/test_ladder_gate.py can assert it fails on real regressions
+    (brightness skew, NaN, structural damage)."""
+    ca, cb = _cells(head), _cells(ref)
+    ncc = float(np.corrcoef(ca.ravel(), cb.ravel())[0, 1])
+    scale_ref = max(float(cb.mean()), 1e-6)
+    cell_rel = np.abs(ca - cb).mean(axis=-1) / scale_ref
+    res = {
+        "mean": float(full.mean()),
+        "head_mean": float(head.mean()), "ref_mean": float(ref.mean()),
+        "ncc_cells": ncc,
+        "mean_rel_cell_err": float(cell_rel.mean()),
+        "p95_rel_cell_err": float(np.quantile(cell_rel, 0.95)),
+        "finite": bool(np.isfinite(full).all()),
+    }
+    checks = {
+        "finite": res["finite"],
+        "ncc>=0.999": ncc >= 0.999,
+        "mean_rel<=1%": res["mean_rel_cell_err"] <= 0.01,
+        "p95_rel<=3%": res["p95_rel_cell_err"] <= 0.03,
+        "global_mean<=1%": abs(res["head_mean"] - res["ref_mean"])
+        <= 0.01 * max(res["ref_mean"], 1e-6),
+    }
+    res["checks"] = checks
+    return res, all(checks.values())
+
+
 def run_rung(name: str, scale: int) -> dict:
     import jax
 
@@ -110,36 +141,16 @@ def run_rung(name: str, scale: int) -> dict:
     a, b = legs["tpu_head"]["img"], legs["cpu_ref"]["img"]
     film.write_image(full, os.path.join(ART, f"ladder_{name}.png"))
 
-    ca, cb = _cells(a), _cells(b)
-    ncc = float(np.corrcoef(ca.ravel(), cb.ravel())[0, 1])
-    scale_ref = max(float(cb.mean()), 1e-6)
-    cell_rel = np.abs(ca - cb).mean(axis=-1) / scale_ref
+    res, passed = evaluate_rung(full, a, b)
     res = {
         "scene": scn, "dims": f"{w}x{h}",
         "spp": legs["tpu"]["spp"], "ref_spp": legs["cpu_ref"]["spp"],
         "seconds": legs["tpu"]["seconds"],
         "head_seconds": legs["tpu_head"]["seconds"],
         "ref_seconds": legs["cpu_ref"]["seconds"],
-        "mean": float(full.mean()),
-        "head_mean": float(a.mean()), "ref_mean": float(b.mean()),
-        "ncc_cells": ncc,
-        "mean_rel_cell_err": float(cell_rel.mean()),
-        "p95_rel_cell_err": float(np.quantile(cell_rel, 0.95)),
-        "finite": bool(np.isfinite(full).all()),
+        **res,
     }
-    # Same-tape deterministic parity: sub-percent bounds (knife-edge
-    # decision flips only — see module docstring). "finite" covers the
-    # full-spp artifact render.
-    checks = {
-        "finite": res["finite"],
-        "ncc>=0.999": ncc >= 0.999,
-        "mean_rel<=1%": res["mean_rel_cell_err"] <= 0.01,
-        "p95_rel<=3%": res["p95_rel_cell_err"] <= 0.03,
-        "global_mean<=1%": abs(res["head_mean"] - res["ref_mean"])
-        <= 0.01 * max(res["ref_mean"], 1e-6),
-    }
-    res["checks"] = checks
-    res["passed"] = all(checks.values())
+    res["passed"] = passed
     return res
 
 

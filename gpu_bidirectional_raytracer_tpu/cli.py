@@ -63,11 +63,11 @@ def cmd_render(args) -> int:
 
     t0 = time.time()
     start = int(r.state.sample)
-    # Chunked stepping (render_chunk) amortizes per-pass dispatch latency
-    # — the dominant cost of short passes over a remote-TPU link. Chunk
-    # boundaries respect snapshot/checkpoint cadence; chunk=1 is the
-    # legacy per-pass loop (always used for --mode light).
-    chunk = max(args.chunk, 1) if args.mode != "light" else 1
+    # Chunked stepping (render_chunk / light_splat_chunk) amortizes
+    # per-pass dispatch latency — the dominant cost of short passes over
+    # a remote-TPU link. Chunk boundaries respect snapshot/checkpoint
+    # cadence; chunk=1 is the legacy per-pass loop.
+    chunk = max(args.chunk, 1)
     s = start
     while s < args.spp:
         k = min(chunk, args.spp - s)
@@ -77,7 +77,7 @@ def cmd_render(args) -> int:
             cad = max(args.snapshot_every or 16, 1)
             k = min(k, cad - (s % cad))
         if args.mode == "light":
-            r.step_light()
+            r.step_light(k)
         elif k == 1:
             r.step()
         else:

@@ -211,6 +211,23 @@ def light_splat_pass(scene: Scene, cam: Camera, state: RenderState,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height",
+                                             "light_idx"))
+def light_splat_chunk(scene: Scene, cam: Camera, state: RenderState,
+                      n_passes: Array, cfg: IntegratorConfig, width: int,
+                      height: int,
+                      light_idx: tuple[int, ...]) -> RenderState:
+    """``n_passes`` light-splat passes chained inside one jitted program —
+    the `render_chunk` analogue for the light-tracing integrator
+    (`Renderer.step_light`). Same dynamic-trip-count design; the body is
+    exactly `light_splat_pass`."""
+    return jax.lax.fori_loop(
+        0, n_passes,
+        lambda i, st: light_splat_pass(scene, cam, st, cfg, width,
+                                       height, light_idx),
+        state)
+
+
 def _accumulate(colors: Array, counter: Array, radiance: Array,
                 max_samples: int) -> tuple[Array, Array]:
     """Running-mean update, frozen for pixels at the sample cap."""
@@ -454,12 +471,20 @@ class Renderer:
                                  self.light_idx, direct_only, self.backend)
         return self.state
 
-    def step_light(self) -> RenderState:
-        """One light-tracing pass splatted onto the film — the living
-        ``RadianceLightTracing`` integrator mode (CLI ``--mode light``)."""
-        self.state = light_splat_pass(self.scene, self.camera, self.state,
-                                      self.cfg, self.width, self.height,
-                                      self.light_idx)
+    def step_light(self, n_passes: int = 1) -> RenderState:
+        """``n_passes`` light-tracing passes splatted onto the film — the
+        living ``RadianceLightTracing`` integrator mode (CLI ``--mode
+        light``); ``n_passes > 1`` chains them in one device program
+        (`light_splat_chunk`)."""
+        if n_passes == 1:
+            self.state = light_splat_pass(self.scene, self.camera,
+                                          self.state, self.cfg, self.width,
+                                          self.height, self.light_idx)
+        else:
+            self.state = light_splat_chunk(self.scene, self.camera,
+                                           self.state, jnp.int32(n_passes),
+                                           self.cfg, self.width,
+                                           self.height, self.light_idx)
         return self.state
 
     def _step_tiled(self, direct_only: bool = False) -> RenderState:

@@ -127,6 +127,24 @@ class TestLightSplatPass:
         assert int(np.asarray(st.sample)) == 1
         assert np.isfinite(np.asarray(st.colors)).all()
 
+    def test_chunked_step_light_matches_stepped(self):
+        # light_splat_chunk's loop body IS light_splat_pass; fused
+        # chaining (CLI --mode light --chunk) must reproduce stepping.
+        scene = builtin.cornell_box()
+
+        def make():
+            return Renderer(scene, builtin.DEFAULT_CAMERA_ORIG,
+                            builtin.DEFAULT_CAMERA_TARGET, 16, 12,
+                            cfg=IntegratorConfig(), backend="xla")
+
+        a, b = make(), make()
+        for _ in range(3):
+            a.step_light()
+        b.step_light(3)
+        assert int(np.asarray(b.state.sample)) == 3
+        np.testing.assert_array_equal(np.asarray(a.state.colors),
+                                      np.asarray(b.state.colors))
+
 
 class TestRadiometry:
     """The splat mode must estimate the SAME image as the eye tracer —

@@ -78,7 +78,15 @@ def _sustained(chunk_fn, state, n_short=8, n_long=72, reps=3):
             t0 = time.perf_counter()
             st = jax.block_until_ready(chunk_fn(st, jnp.int32(n)))
             ts.append(time.perf_counter() - t0)
-        best = min(best, (ts[1] - ts[0]) / (n_long - n_short))
+        # Tunnel noise can make the delta <= 0; a nonpositive rep is a
+        # measurement failure, not a time — discard it (ADVICE r3).
+        d = (ts[1] - ts[0]) / (n_long - n_short)
+        if d > 0.0:
+            best = min(best, d)
+    if best == float("inf"):
+        raise RuntimeError(
+            f"sustained timing: all {reps} reps nonpositive (tunnel noise "
+            f"swamped n_long={n_long}; raise the trip counts)")
     return best
 
 
@@ -204,7 +212,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 jax.block_until_ready(loop(k, jnp.int32(n)))
                 ts.append(time.perf_counter() - t0)
-            best = min(best, (ts[1] - ts[0]) / (n_long - n_short))
+            d = (ts[1] - ts[0]) / (n_long - n_short)
+            if d > 0.0:  # nonpositive = tunnel noise, discard (ADVICE r3)
+                best = min(best, d)
+        if best == float("inf"):
+            raise RuntimeError(
+                f"fwd+bwd timing: all {reps} reps nonpositive (tunnel "
+                f"noise swamped n_long={n_long})")
         return best
 
     try:

@@ -56,8 +56,35 @@ def cmd_render(args) -> int:
                  rng_impl="rbg" if args.fast_rng else None)
 
     if args.checkpoint and args.resume:
-        restored = ckpt.restore(args.checkpoint, r.state)
+        try:
+            restored = ckpt.restore(args.checkpoint, r.state)
+        except Exception as e:
+            # The PRNG key's stored data shape depends on the rng impl
+            # ((2,) uint32 threefry vs (4,) rbg); a cross-impl resume
+            # surfaces as an opaque orbax shape/dtype mismatch (ADVICE
+            # r3). init_state documents cross-impl resume as unsupported.
+            msg = str(e)
+            if "key" in msg or "(2,)" in msg or "(4,)" in msg:
+                print(
+                    f"error: checkpoint at {args.checkpoint} was written "
+                    f"with a different --fast-rng setting than this run "
+                    f"(the PRNG key layout differs); resume with the "
+                    f"same setting it was written under.\n  ({e})",
+                    file=sys.stderr)
+                return 2
+            raise
         if restored is not None:
+            if restored.key.dtype != r.state.key.dtype:
+                # Orbax restores the SAVED key impl regardless of the
+                # template: the run would silently continue on the
+                # checkpoint's RNG, ignoring --fast-rng (ADVICE r3).
+                print(
+                    f"error: checkpoint at {args.checkpoint} was written "
+                    f"with a different --fast-rng setting "
+                    f"(stored key {restored.key.dtype}, requested "
+                    f"{r.state.key.dtype}); resume with the setting it "
+                    f"was written under.", file=sys.stderr)
+                return 2
             r.state = restored
             print(f"resumed at sample {int(r.state.sample)}", file=sys.stderr)
 

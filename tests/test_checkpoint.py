@@ -38,3 +38,27 @@ def test_roundtrip_and_bitwise_resume(tmp_path):
 
 def test_restore_missing_returns_none(tmp_path):
     assert ckpt.restore(str(tmp_path / "nope"), None) is None
+
+
+def test_cross_impl_resume_is_rejected_clearly(tmp_path, capsys):
+    """--resume under a different --fast-rng setting than the checkpoint
+    was written with must fail with a CLEAR error, not silently continue
+    on the checkpoint's RNG / an opaque orbax mismatch (ADVICE r3)."""
+    import os
+
+    from gpu_bidirectional_raytracer_tpu import cli
+
+    scn = os.path.join(os.path.dirname(__file__), "..", "assets",
+                       "scenes", "simple.scn")
+    ckdir = str(tmp_path / "ck")
+    out = str(tmp_path / "a.ppm")
+    rc = cli.main(["render", scn, "--width", "16", "--height", "12",
+                   "--spp", "2", "--mode", "cpu", "--checkpoint", ckdir,
+                   "--out", out])
+    assert rc == 0
+    rc = cli.main(["render", scn, "--width", "16", "--height", "12",
+                   "--spp", "4", "--mode", "cpu", "--checkpoint", ckdir,
+                   "--resume", "--fast-rng", "--out", out])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "different --fast-rng setting" in err

@@ -13,6 +13,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -60,6 +61,7 @@ class TestLadderGate:
         assert not ok
         assert not res["checks"]["finite"]
 
+    @pytest.mark.artifact
     def test_committed_artifact_passes_and_covers_all_rungs(self):
         path = os.path.join(REPO, "artifacts", "LADDER.json")
         with open(path) as f:

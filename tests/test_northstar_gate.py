@@ -37,6 +37,7 @@ def legs():
 
 
 class TestGate:
+    @pytest.mark.artifact
     def test_committed_artifacts_pass(self, legs):
         a, b = legs
         metrics, ok = northstar.evaluate_gate(a, b)

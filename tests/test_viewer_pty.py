@@ -5,6 +5,7 @@ noted as missing."""
 
 import os
 import pty
+import re
 import select
 import subprocess
 import sys
@@ -30,6 +31,7 @@ def test_viewer_renders_a_frame_and_quits():
     out = b""
     deadline = time.time() + 150
     sent_quit = False
+    saw_chunked = False
     try:
         while time.time() < deadline:
             r, _, _ = select.select([master], [], [], 1.0)
@@ -41,8 +43,16 @@ def test_viewer_renders_a_frame_and_quits():
                 if not chunk:
                     break
                 out += chunk
-            # after the first rendered status line, ask it to quit
-            if not sent_quit and b"pass " in out:
+            # The adaptive chunking (VERDICT r3 weak#8) engages once the
+            # viewer has a per-pass estimate: the status line reports the
+            # poll chunk. Quit after chunked stepping is observed (or
+            # after the first frame if the deadline is close).
+            if not saw_chunked:
+                saw_chunked = any(
+                    int(m) > 1
+                    for m in re.findall(rb"\(x(\d+)/poll\)", out))
+            if not sent_quit and b"pass " in out and (
+                    saw_chunked or time.time() > deadline - 60):
                 os.write(master, b"q")
                 sent_quit = True
             if proc.poll() is not None:
@@ -59,3 +69,7 @@ def test_viewer_renders_a_frame_and_quits():
     # ANSI half-block frame content made it to the terminal
     assert b"\x1b[H" in out
     assert "▀".encode() in out
+    # The adaptive chunk engaged (step_n between key polls) — on a
+    # CPU-golden 24x18 render one pass is far under the 100 ms poll
+    # target, so chunk must have exceeded 1 before the quit.
+    assert saw_chunked, out[-500:]

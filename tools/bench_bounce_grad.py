@@ -94,7 +94,11 @@ def main() -> None:
             t1 = time.perf_counter()
             jax.block_until_ready(fn(k, jnp.int32(n_l)))
             t2 = time.perf_counter()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / (n_l - n_s))
+            d = ((t2 - t1) - (t1 - t0)) / (n_l - n_s)
+            if d > 0.0:  # nonpositive delta = tunnel noise (ADVICE r3)
+                best = min(best, d)
+        if best == float("inf"):
+            raise RuntimeError("all timing reps nonpositive (tunnel noise)")
         print(f"{label}: {best * 1e3:.1f} ms/sample "
               f"(compile {compile_s:.0f}s)", flush=True)
         return best

@@ -91,7 +91,11 @@ def sustained(fn, key):
             t0 = time.perf_counter()
             jax.block_until_ready(loop(k, jnp.int32(1), jnp.int32(n)))
             ts.append(time.perf_counter() - t0)
-        best = min(best, (ts[1] - ts[0]) / (N_LONG - N_SHORT))
+        d = (ts[1] - ts[0]) / (N_LONG - N_SHORT)
+        if d > 0.0:  # nonpositive delta = tunnel noise (ADVICE r3)
+            best = min(best, d)
+    if best == float("inf"):
+        raise RuntimeError("all timing reps nonpositive (tunnel noise)")
     return best
 
 

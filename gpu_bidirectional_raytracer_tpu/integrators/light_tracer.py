@@ -205,14 +205,24 @@ def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
       the caller dividing the film SUM by the per-light lane count
       ``N / L`` (`render.progressive.light_splat_pass`) — a sum-over-
       paths estimator, not a mean-over-splats. Deeper deposits
-      (``vpl_depth > 1``) chain albedo and cosine sampling identically on
-      both sides, so the same weight stays unbiased for indirect light.
-      Convergence to the eye-traced direct image is asserted
-      statistically in tests/test_splat.py::TestRadiometry. Escaped-lane
-      "environment" VPLs (``device.cu:279-293``) paint the emitter's own
-      disc with ``e/2``; the emitter disc therefore follows the
-      reference's env-VPL convention, not the eye tracer's ``e |dp|``
-      emitter shading — excluded from the radiometric comparison.
+      (``vpl_depth > 1``) chain albedo multiplies and cosine sampling
+      identically on both sides, so the same weight stays unbiased for
+      indirect light. Convergence to the eye-traced image is asserted
+      statistically in tests/test_splat.py::TestRadiometry at depth 1
+      (vs the direct-only tracer) AND depth 2 (vs the full tracer at
+      ``max_depth=2``). Escaped-lane "environment" VPLs
+      (``device.cu:279-293``) are splatted only from depth 0, where they
+      sit on the emitting sphere and paint the emitter's own disc with
+      ``e/2`` (the reference's env-VPL convention, not the eye tracer's
+      ``e |dp|`` emitter shading — excluded from the radiometric
+      comparison). At depth >= 1 an escaped lane's env deposit sits at
+      its last SCENE-surface vertex carrying raw ``e/2`` — meaningful as
+      sky filler for the VPL *gather* estimator, but radiometrically
+      foreign to the film splat (it would paint emitter-bright points on
+      ordinary surfaces) — so those are excluded here. Env deposits are
+      identified by their host sphere id being an emitter: `trace_light_
+      paths` records ``sid = lane_light`` for env slots while diffuse
+      deposits always host on non-emitters (``deposit_mask``).
 
     Returns ``(color_sum [H,W,3], count [H,W])`` — ``color_sum`` is the
     weighted SUM of splat contributions (the caller normalizes by paths
@@ -255,7 +265,18 @@ def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
     orig_b = jnp.broadcast_to(cam.orig[None, :], v.shape)
     occluded = isect.intersect_p(scene, orig_b, dunit, dist - EPSILON)
 
-    mask = valid & front & in_bounds & jnp.logical_not(occluded)
+    # Env-VPL splat rule (docstring): depth-0 env deposits paint the
+    # emitter disc; deeper env deposits are gather-only sky filler.
+    n_depth = vpls.hp.shape[0]
+    if vpls.sid is not None:
+        host_is_emitter = jnp.any(scene.e[vpls.sid.reshape(-1)] != 0.0,
+                                  axis=-1)
+        depth_row = jnp.repeat(jnp.arange(n_depth), n_lanes)
+        env_ok = jnp.logical_not(host_is_emitter) | (depth_row == 0)
+    else:
+        env_ok = jnp.ones_like(valid)
+
+    mask = valid & front & in_bounds & jnp.logical_not(occluded) & env_ok
     # Per-splat importance weight (docstring derivation).
     a_f = (FILM_W / width) * (FILM_H / height)
     cos_s = jnp.abs(jnp.sum(nl_flat * (-dunit), axis=-1))

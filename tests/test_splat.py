@@ -215,3 +215,71 @@ class TestRadiometry:
             ra = float(a[..., ch][lit].mean())
             rb = float(b[..., ch][lit].mean())
             assert abs(ra - rb) / max(ra, 1e-9) < 0.15, (ch, ra, rb)
+
+    def test_depth2_splat_converges_to_full_eye_trace(self):
+        """vpl_depth=2 radiometry (VERDICT r3 weak#7): with two deposit
+        depths the splat estimator carries direct AND one-bounce-indirect
+        light; it must converge to the FULL eye tracer at max_depth=2 on
+        a diffuse scene (not just the direct-only tracer the depth-1 test
+        pins). Also exercises the env-VPL splat rule: depth-1 escaped
+        lanes deposit e/2 at scene-surface points which must NOT be
+        splatted (they would paint emitter-bright dots on the floor)."""
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.core.types import Scene
+        from gpu_bidirectional_raytracer_tpu.render.progressive import (
+            light_splat_chunk,
+            render_chunk,
+        )
+
+        scene = Scene(
+            rad=jnp.array([1e4, 8.0, 10.0]),
+            p=jnp.array([[0.0, -1e4, 0.0],      # floor plane (top at y=0)
+                         [0.0, 60.0, 0.0],      # light overhead
+                         [0.0, 10.0, 0.0]]),    # diffuse ball
+            e=jnp.array([[0.0, 0.0, 0.0],
+                         [30.0, 30.0, 30.0],
+                         [0.0, 0.0, 0.0]]),
+            c=jnp.array([[0.75, 0.75, 0.75],
+                         [0.0, 0.0, 0.0],
+                         [0.6, 0.3, 0.3]]),
+            refl=jnp.array([0, 0, 0], jnp.int32),
+        )
+        w, h = 32, 24
+        cam = Camera.make(jnp.array([0.0, 30.0, 90.0]),
+                          jnp.array([0.0, 8.0, 0.0]), w, h)
+        li = static_light_indices(scene)
+        cfg = dataclasses.replace(IntegratorConfig(use_vpl=False),
+                                  vpl_depth=2, max_depth=2)
+
+        eye = init_state(w, h, cfg)
+        eye = render_chunk(scene, cam, eye, jnp.int32(128), cfg, w, h, li)
+        lt = init_state(w, h, cfg)
+        lt = light_splat_chunk(scene, cam, lt, jnp.int32(1024), cfg, w, h,
+                               li)
+        a = np.asarray(eye.colors)
+        b = np.asarray(lt.colors)
+        assert np.isfinite(b).all()
+
+        lit = a.max(axis=-1) > 0.05
+        near = np.zeros((h, w), bool)
+        near[2:8, 4:28] = True          # foreground floor band
+        bright = np.zeros((h, w), bool)
+        bright[8:13, 0:14] = True       # bright floor flanking the ball
+        bright[8:13, 18:32] = True
+        for name, region in (("floor_near", near), ("floor_bright", bright)):
+            m = region & lit
+            assert m.sum() >= 40, (name, int(m.sum()))
+            ma, mb = float(a[m].mean()), float(b[m].mean())
+            assert abs(ma - mb) / ma < 0.2, (name, ma, mb)
+        for ch in range(3):
+            ra = float(a[..., ch][lit].mean())
+            rb = float(b[..., ch][lit].mean())
+            assert abs(ra - rb) / max(ra, 1e-9) < 0.15, (ch, ra, rb)
+        # The 2-depth estimator really carries indirect light: the ball's
+        # underside (shadowed from direct) must be brighter in BOTH legs
+        # than a direct-only render would leave it — check the splat film
+        # deposits nonzero energy in the ball's dark band.
+        dark = np.zeros((h, w), bool)
+        dark[9:12, 14:18] = True
+        assert float(b[dark].mean()) > 0.0

@@ -49,11 +49,12 @@ def cmd_render(args) -> int:
     from gpu_bidirectional_raytracer_tpu.utils import checkpoint as ckpt
 
     orig, target, scene = _load(args.scene)
+    rng_impl = "rbg" if args.fast_rng else args.rng
     r = Renderer(scene, orig, target, args.width, args.height,
                  cfg=_config(args.mode), seed=args.seed,
                  reference_dims=args.reference_dims,
                  backend=args.backend, tile_rows=args.tile_rows,
-                 rng_impl="rbg" if args.fast_rng else None)
+                 rng_impl=rng_impl)
 
     if args.checkpoint and args.resume:
         try:
@@ -211,11 +212,16 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=("auto", "xla", "pallas"), default="auto",
                    help="eye-trace implementation (pallas = fused TPU "
                         "megakernel, ~2x faster on TPU)")
+    p.add_argument("--rng", choices=("mix32", "threefry", "rbg"),
+                   default=None,
+                   help="render-tape PRNG (default mix32: replay-stable "
+                        "cheap counter hash; threefry: rounds-1..3 "
+                        "heritage contract; rbg: hardware bit generator, "
+                        "fastest, not replay-stable across backends)")
     p.add_argument("--fast-rng", dest="fast_rng", action="store_true",
-                   help="serving-mode tape: XLA hardware RngBitGenerator "
-                        "instead of replayable threefry (~2x faster "
-                        "passes on TPU; not bitwise-replayable across "
-                        "backends)")
+                   help="alias for --rng rbg (serving-mode tape: XLA "
+                        "hardware RngBitGenerator; not bitwise-"
+                        "replayable across backends)")
     p.add_argument("--chunk", type=int, default=16,
                    help="progressive passes fused per device program "
                         "(render_chunk); 1 = one dispatch per pass")

@@ -49,17 +49,21 @@ def init_state(width: int, height: int, cfg: IntegratorConfig,
                seed: int = 0, rng_impl: str | None = None) -> RenderState:
     """Fresh accumulation state (the ``ReInit`` analogue, smallpt_cpu.c:373).
 
-    ``rng_impl``: PRNG implementation for the render tape. ``None`` (the
-    default) is the partitionable threefry contract — bitwise-replayable
-    across backends, shardings, and tilings (rng.py). ``'rbg'`` is the
-    FAST-TAPE serving mode: XLA's hardware RngBitGenerator, measured
-    ~140x cheaper than threefry on v5e (~0.01 vs ~0.98 ms/pass of the
-    cornell 512x512 tape — which is ~half the megakernel pass), still
-    counter-addressed/deterministic WITHIN one backend+process, but its
-    bit-stream is not guaranteed stable across XLA backends/versions, so
-    golden CPU==TPU replay and cross-impl resume do not apply. Every
-    draw still goes through `rng.site_uniforms` (the key's dtype carries
-    the impl); estimator and tape addressing are unchanged.
+    ``rng_impl``: PRNG implementation for the render tape (rng.py module
+    docstring has the full contract table). ``None`` (the default)
+    resolves to ``'mix32'`` — the hand-rolled u32 counter hash whose
+    bitstream is frozen and bitwise-replayable across backends,
+    shardings, and tilings at ~4x fewer VPU ops than threefry (the
+    threefry tape was measured at ~half of every sustained pass,
+    artifacts/MEGAKERNEL.json — VERDICT r3 #1). ``'threefry'`` is the
+    rounds-1..3 contract impl (heritage replay of old checkpoints).
+    ``'rbg'`` is the FAST-TAPE serving mode: XLA's hardware
+    RngBitGenerator, the cheapest tape, still counter-addressed and
+    deterministic WITHIN one backend+process, but its bit-stream is not
+    guaranteed stable across XLA backends/versions, so golden CPU==TPU
+    replay and cross-impl resume do not apply. Every draw goes through
+    `rng.site_uniforms` (the key's dtype carries the impl); estimator
+    and tape addressing are identical under all three.
     """
     return RenderState(
         colors=jnp.zeros((height, width, 3), dtype=jnp.float32),
@@ -67,7 +71,7 @@ def init_state(width: int, height: int, cfg: IntegratorConfig,
         vpls=VplBuffer.zeros(cfg.vpl_depth, cfg.light_points),
         vlp_index=jnp.int32(0),
         sample=jnp.int32(0),
-        key=jax.random.key(seed, impl=rng_impl),
+        key=rng.make_key(seed, rng_impl),
     )
 
 

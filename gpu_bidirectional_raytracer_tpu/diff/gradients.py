@@ -39,9 +39,11 @@ Known estimator limits (measured, see tests):
   bounce) carry gradient when ``cfg.sil_grad_tau > 0`` via the
   zero-primal coverage carrier `_silhouette_carrier` (applied outside
   the tracer, so it composes with the pallas adjoint); the carrier
-  follows mirror CHAINS up to ``cfg.sil_spec_depth`` SPEC bounces.
-  Remaining zero-gradient structure: diffuse-bounce (truly indirect)
-  silhouettes, through-glass (lens) background motion, and the hard
+  follows SPECULAR chains up to ``cfg.sil_spec_depth`` bounces —
+  mirror reflections AND dielectric refractions (a sphere seen through
+  a glass lens carries coverage gradient, round 4). Remaining
+  zero-gradient structure: diffuse-bounce (truly indirect)
+  silhouettes, the Fresnel-reflected image off glass, and the hard
   near-endpoint self-intersection gate of shadow segments (the far
   endpoint is relaxed two-sidedly by `intersect.soft_visibility`).
 """
@@ -107,22 +109,27 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
     own depth-0 NEE cannot reach the image.
 
     Scope: bounce-0 silhouettes (the ones the camera sees directly) plus
-    up to ``cfg.sil_spec_depth`` PERFECT-MIRROR reflections — the walk
-    follows lanes whose current hit is a perfect mirror (``refl ==
-    SPEC``) and applies the identical carrier to the argmin hit of each
-    reflected ray, so a sphere seen through a CHAIN of mirrors carries
-    coverage gradient (on such lanes the pixel is exactly ``prod
-    c_mirror * L(reflected ray)``, so the same L_fg/L_bg construction
-    applies with the background estimate tinted by the stopped mirror-
-    albedo product and the depth-k tape feeding its NEE). The chain
-    geometry itself is detached (hit points/reflection directions from
-    the stopped scene): each leg carries ONLY the coverage of its own
-    terminal hit. Diffuse-bounce (truly indirect) silhouettes and
-    through-glass (lens) silhouettes remain detached — the REFR rim
-    itself does carry the carrier (TestRefrSilhouette), but the walk
-    stops there rather than refracting. Capability upgrade of the
-    sphere-editing loop at ``display_func.c:347-369``, same chain as
-    ``vis_grad_tau``.
+    up to ``cfg.sil_spec_depth`` SPECULAR bounces — the walk follows
+    lanes whose current hit is a perfect mirror (``refl == SPEC``,
+    reflect) OR a dielectric (``refl == REFR``, refract on the
+    deterministic transmission branch with the STOPPED geometry; TIR
+    lanes reflect) and applies the identical carrier to the argmin hit
+    of each continued ray. A sphere seen through a CHAIN of mirrors —
+    or THROUGH a glass lens (VERDICT r3 #3, the dielectric branch
+    ``device.cu:715-770``) — carries coverage gradient: on such lanes
+    the pixel is ``prod tint * L(continued ray)`` in expectation, with
+    ``tint = c_mirror`` per mirror leg and ``c_glass * (1 - Re)`` per
+    refraction (the stopped Fresnel transmittance; the Fresnel-REFLECTED
+    component of a glass hit is not walked — a documented bias that
+    skips the dimmer mirrored silhouette). The depth-k tape feeds each
+    leg's NEE. The chain geometry itself is detached (hit points /
+    reflection / refraction directions from the stopped scene): each
+    leg carries ONLY the coverage of its own terminal hit. Note a glass
+    sphere costs TWO legs (entry + exit interfaces) before the revealed
+    background, so a lens needs ``sil_spec_depth >= 2`` (the default).
+    Diffuse-bounce (truly indirect) silhouettes remain detached.
+    Capability upgrade of the sphere-editing loop at
+    ``display_func.c:347-369``, same chain as ``vis_grad_tau``.
     """
     n = o.shape[0]
     sg = jax.lax.stop_gradient
@@ -130,14 +137,46 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
     from gpu_bidirectional_raytracer_tpu.core import vecmath as vm
     from gpu_bidirectional_raytracer_tpu.core.types import DIFF, SPEC
 
-    def leg(o_l, d_l, active_m, tint, depth):
+    def shade_value_only(hp_s, t_hit, hid_s, d_l, depth):
+        """Value-only one-bounce shading of a surface point: emission +
+        NEE at a diffuse hit (the L_fg/L_bg estimate — indirect light at
+        the point is ignored, the documented carrier bias)."""
+        hit_s = t_hit < _BIG
+        p_s, e_s, c_s, refl_s = isect.gather_sphere_attrs(scene0, hid_s)
+        normal_s = vm.norm(hp_s - p_s, eps=1e-20)
+        dp_s = vm.dot(normal_s, d_l)
+        nl_s = vm.smul(jnp.where(dp_s > 0.0, -1.0, 1.0), normal_s)
+        emit_s = cfg.emission_scale * jnp.abs(dp_s)[:, None] * e_s
+        if light_idx:
+            L = len(light_idx)
+            light_u = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV,
+                                        2 * L, n, lane_offset=lane_offset,
+                                        lane_total=lane_total
+                                        ).reshape(L, 2, n)
+            cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
+            ld_s = nee.sample_direct(scene0, cfg0, light_idx, hp_s, nl_s,
+                                     light_u)
+        else:
+            ld_s = jnp.zeros((n, 3), dtype=jnp.float32)
+        l = emit_s + jnp.where((refl_s == DIFF)[:, None], c_s * ld_s, 0.0)
+        return jnp.where(hit_s[:, None], l, 0.0)
+
+    def leg(o_l, d_l, active_m, tint, depth, use_rad):
         """One coverage-carrier leg along (stopped) rays ``(o_l, d_l)``.
 
         ``active_m [N]``: lanes this leg applies to; ``tint [N, 3]``:
-        stopped camera-to-leg-origin throughput scaling L_bg; ``depth``
-        selects the LIGHT_UV tape row the value-only NEE reuses.
+        stopped camera-to-leg-origin throughput scaling L_fg/L_bg;
+        ``depth`` selects the LIGHT_UV tape row the value-only NEE
+        reuses. ``use_rad``: the PRIMARY leg takes L_fg = the pixel's own
+        traced radiance (exact, includes indirect light); chain legs
+        (k >= 1) instead shade the terminal hit value-only, SYMMETRIC
+        with L_bg — the pixel's radiance also carries non-chain
+        contributions (e.g. a glass sphere's Fresnel rim) that do not
+        move with the terminal hit's coverage, and using it was measured
+        to fabricate gradient where FD is exactly zero (an unlit sphere
+        behind a lit lens, round-4 probes).
         """
-        hit, _, hid = isect.intersect(scene0, o_l, d_l)
+        hit, t1, hid = isect.intersect(scene0, o_l, d_l)
         oh = jax.nn.one_hot(hid, scene.num_spheres, dtype=jnp.float32)
         # Differentiable discriminant of the (stopped) hit sphere; the
         # one-hot matmul routes d det into the hit rows of scene.p/rad.
@@ -155,40 +194,35 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         masked = jnp.where((ts > 0.0) & (oh < 0.5), ts, _BIG)
         t2 = jnp.min(masked, axis=-1)
         hid2 = jnp.argmin(masked, axis=-1).astype(jnp.int32)
-        hit2 = t2 < _BIG
-        hp2 = o_l + jnp.where(hit2, t2, 1.0)[:, None] * d_l
-        p2, e2, c2, refl2 = isect.gather_sphere_attrs(scene0, hid2)
-        normal2 = vm.norm(hp2 - p2, eps=1e-20)
-        dp2 = vm.dot(normal2, d_l)
-        nl2 = vm.smul(jnp.where(dp2 > 0.0, -1.0, 1.0), normal2)
-        emit2 = cfg.emission_scale * jnp.abs(dp2)[:, None] * e2
-        if light_idx:
-            L = len(light_idx)
-            light_u = rng.site_uniforms(key, sample, depth, rng.LIGHT_UV,
-                                        2 * L, n, lane_offset=lane_offset,
-                                        lane_total=lane_total
-                                        ).reshape(L, 2, n)
-            cfg0 = dataclasses.replace(cfg, vis_grad_tau=0.0)
-            ld2 = nee.sample_direct(scene0, cfg0, light_idx, hp2, nl2,
-                                    light_u)
-        else:
-            ld2 = jnp.zeros((n, 3), dtype=jnp.float32)
-        l_bg = emit2 + jnp.where((refl2 == DIFF)[:, None], c2 * ld2, 0.0)
-        l_bg = sg(jnp.where(hit2[:, None], l_bg, 0.0) * tint)
+        hp2 = o_l + jnp.where(t2 < _BIG, t2, 1.0)[:, None] * d_l
+        l_bg = sg(shade_value_only(hp2, t2, hid2, d_l, depth) * tint)
 
-        delta = sg(rad - l_bg)
+        if use_rad:
+            l_fg = rad
+        else:
+            hp1 = o_l + jnp.where(hit, t1, 1.0)[:, None] * d_l
+            t1m = jnp.where(hit, t1, _BIG)
+            l_fg = sg(shade_value_only(hp1, t1m, hid, d_l, depth) * tint)
+
+        delta = sg(l_fg - l_bg)
         carrier = 2.0 * delta * (cov * hit.astype(jnp.float32)
                                  * active_m)[:, None]
         return carrier - sg(carrier)
 
-    # ---- specular-chain walk: primary leg + one leg per SPEC bounce ----
+    # ---- specular-chain walk: primary leg + one leg per SPEC/REFR bounce
+    from gpu_bidirectional_raytracer_tpu.core.types import REFR
+    from gpu_bidirectional_raytracer_tpu.integrators.bsdf import (
+        _NC as NC,
+        _NT as NT,
+    )
+
     o_l, d_l = o, d
     active = jnp.ones((n,), jnp.float32)
     tint = jnp.ones((n, 3), jnp.float32)
     out = jnp.zeros((n, 3), jnp.float32)
     depth_cap = min(max(int(cfg.sil_spec_depth), 0), cfg.max_depth - 1)
     for k in range(depth_cap + 1):
-        out = out + leg(o_l, d_l, active, tint, k)
+        out = out + leg(o_l, d_l, active, tint, k, use_rad=(k == 0))
         if k == depth_cap:
             break
         hit_k, t_k, hid_k = isect.intersect(scene0, o_l, d_l)
@@ -196,9 +230,32 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         hp_k = o_l + jnp.where(hit_k, t_k, 1.0)[:, None] * d_l
         n_k = vm.norm(hp_k - p_k, eps=1e-20)
         r_k = d_l - 2.0 * vm.dot(n_k, d_l)[:, None] * n_k
-        active = active * (hit_k & (refl_k == SPEC)).astype(jnp.float32)
-        tint = tint * c_k
-        o_l, d_l = hp_k, r_k
+        # Dielectric continuation on the stopped geometry: the
+        # deterministic transmission branch of device.cu:715-770 (all in
+        # stop_gradient land — only the terminal-hit coverage of each
+        # leg carries gradient).
+        dp_k = vm.dot(n_k, d_l)
+        into = dp_k < 0.0
+        nl_k = vm.smul(jnp.where(into, 1.0, -1.0), n_k)
+        nnt = jnp.where(into, NC / NT, NT / NC)
+        ddn = vm.dot(d_l, nl_k)
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0.0
+        kk = (jnp.where(into, 1.0, -1.0)
+              * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))))
+        t_dir = vm.norm(nnt[:, None] * d_l - kk[:, None] * n_k, eps=1e-20)
+        r0 = ((NT - NC) / (NT + NC)) ** 2
+        c1 = 1.0 - jnp.where(into, -ddn, vm.dot(t_dir, n_k))
+        re = r0 + (1.0 - r0) * c1 ** 5
+        is_spec = refl_k == SPEC
+        is_refr = refl_k == REFR
+        take_refl = is_spec | (is_refr & tir)
+        next_d = jnp.where(take_refl[:, None], r_k, t_dir)
+        trans_w = jnp.where(is_refr & jnp.logical_not(tir),
+                            1.0 - re, 1.0)
+        active = active * (hit_k & (is_spec | is_refr)).astype(jnp.float32)
+        tint = tint * c_k * trans_w[:, None]
+        o_l, d_l = hp_k, next_d
     return out
 
 

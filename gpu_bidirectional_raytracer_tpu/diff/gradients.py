@@ -485,6 +485,12 @@ class InverseRenderer:
     seed: int = 0
     resample: bool = True  # fresh RNG per step vs fixed tape
     min_radius: float = 0.1
+    # Optional per-parameter gradient gate: {param: [S]-or-broadcastable
+    # multiplier} — 0 freezes a sphere's entry (fit unknown objects in a
+    # KNOWN room: without it, free walls/lights absorb transient error
+    # while the perturbed objects are wrong and never fully return,
+    # leaving a loss floor — measured on the ladder inverse rung).
+    grad_mask: dict | None = None
     loss: str | None = None  # default: 'l2_unbiased' when resampling, 'l2'
                              # on a fixed tape (see render_loss_grad)
     backend: str = "auto"  # 'auto' = hand-written pallas adjoint on TPU
@@ -517,6 +523,11 @@ class InverseRenderer:
 
         params = {k: getattr(self.scene, k) for k in self.optimize}
         g = {k: getattr(grads, k) for k in self.optimize}
+        if self.grad_mask:
+            g = {k: (v * jnp.reshape(
+                jnp.asarray(self.grad_mask[k], v.dtype),
+                (-1,) + (1,) * (v.ndim - 1)) if k in self.grad_mask
+                else v) for k, v in g.items()}
         updates, self._opt_state = self._tx.update(g, self._opt_state, params)
         params = optax.apply_updates(params, updates)
         # Projection keeps geometry physical: a radius driven through zero

@@ -18,7 +18,11 @@ import pytest
 REPO = os.path.join(os.path.dirname(__file__), "..")
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from ladder import RUNGS, evaluate_rung  # noqa: E402
+from ladder import (  # noqa: E402
+    RUNGS,
+    evaluate_inverse_rung,
+    evaluate_rung,
+)
 
 
 def _fake_pair(seed=0, h=64, w=64):
@@ -66,7 +70,38 @@ class TestLadderGate:
         path = os.path.join(REPO, "artifacts", "LADDER.json")
         with open(path) as f:
             d = json.load(f)
-        assert set(d) == set(RUNGS), (set(d), set(RUNGS))
+        want = set(RUNGS) | {"inverse"}
+        assert set(d) == want, (set(d), want)
         for name, res in d.items():
             assert res["passed"], (name, res["checks"])
-            assert res["ncc_cells"] >= 0.999
+            if name != "inverse":
+                assert res["ncc_cells"] >= 0.999
+
+
+class TestInverseRungGate:
+    """evaluate_inverse_rung (the ladder's final rung, BASELINE.md:25)
+    must fail on non-recovery and pass a genuine recovery."""
+
+    GOOD = {
+        "loss_start": 2.0, "loss_final": 0.05,
+        "pos_err_final": 0.6, "rad_err_final": 0.1,
+        "albedo_err_final": 0.05,
+    }
+
+    def test_good_recovery_passes(self):
+        res, ok = evaluate_inverse_rung(dict(self.GOOD))
+        assert ok, res["checks"]
+
+    @pytest.mark.parametrize("field,value,check", [
+        ("loss_final", 1.5, "loss_reduced"),
+        ("pos_err_final", 3.0, "pos_err<=1.5"),
+        ("rad_err_final", 2.0, "rad_err<=0.8"),
+        ("albedo_err_final", 0.3, "albedo_err<=0.12"),
+        ("loss_final", float("nan"), "finite"),
+    ])
+    def test_non_recovery_fails(self, field, value, check):
+        bad = dict(self.GOOD)
+        bad[field] = value
+        res, ok = evaluate_inverse_rung(bad)
+        assert not ok
+        assert not res["checks"][check], res["checks"]

@@ -24,10 +24,13 @@ Rungs (BASELINE.json "configs"):
   cornell_mirror    512x512 @ 1024 spp
   cornell_glass     512x512 @ 1024 spp
   caustic.scn       512x384 @ 4096 spp
-(The 10-sphere inverse-rendering rung is exercised by
-tests/test_gradients.py recovery tests and examples/inverse_rendering.py.)
+  inverse           10-sphere recovery (position+radius+albedo) — the
+                    ladder's final rung (BASELINE.md:25), gated on final
+                    loss and per-parameter recovery error
+                    (`run_inverse_rung`; VERDICT r3 #5)
 
-Artifacts: artifacts/ladder_<rung>.png + artifacts/LADDER.json.
+Artifacts: artifacts/ladder_<rung>.png + artifacts/LADDER.json (+ the
+inverse rung's before/after PNGs).
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/ladder.py \
           [--rung NAME] [--scale N]
 ``--scale N`` divides every spp by N (CI-speed smoke of the same gate).
@@ -154,20 +157,171 @@ def run_rung(name: str, scale: int) -> dict:
     return res
 
 
+# ---- the inverse-rendering rung (BASELINE.md:25's final rung) -------------
+
+# Perturbations applied to the true scene; recovery must walk them back.
+_INV_POS_OFF = (4.0, 0.0, 3.0)   # ball A position offset (scene units)
+_INV_RAD_OFF = 2.5               # ball B radius offset
+_INV_ALB_OFF = (-0.3, 0.2, 0.1)  # ball C albedo offset
+
+
+def _inverse_scene():
+    """Seeded 10-sphere diffuse scene: floor + back wall + light + seven
+    varied balls — the '10-sphere inverse rendering' config. Diffuse-only
+    so every perturbed parameter is carried by the validated gradient
+    paths (interior shading + sil/vis carriers)."""
+    import jax.numpy as jnp
+
+    from gpu_bidirectional_raytracer_tpu.core.types import Scene
+
+    rng_ = np.random.default_rng(11)
+    balls_p = np.array([[-22.0, 8.0, -8.0], [0.0, 10.0, -20.0],
+                        [20.0, 7.0, -4.0], [-8.0, 6.0, 12.0],
+                        [10.0, 5.0, 14.0], [26.0, 12.0, -24.0],
+                        [-28.0, 14.0, -26.0]])
+    balls_r = np.array([8.0, 10.0, 7.0, 6.0, 5.0, 9.0, 9.0])
+    balls_c = 0.25 + 0.65 * rng_.random((7, 3))
+    p = np.concatenate([
+        np.array([[0.0, -1e4, 0.0],       # floor plane (top at y=0)
+                  [0.0, 0.0, -1e4 - 44.0],  # back wall (front at z=-44)
+                  [0.0, 70.0, 30.0]]),    # light
+        balls_p])
+    rad = np.concatenate([[1e4, 1e4, 12.0], balls_r])
+    e = np.zeros((10, 3))
+    e[2] = (22.0, 22.0, 22.0)
+    c = np.concatenate([
+        np.array([[0.75, 0.75, 0.75], [0.6, 0.65, 0.75], [0.0, 0.0, 0.0]]),
+        balls_c])
+    return Scene(rad=jnp.asarray(rad, jnp.float32),
+                 p=jnp.asarray(p, jnp.float32),
+                 e=jnp.asarray(e, jnp.float32),
+                 c=jnp.asarray(c, jnp.float32),
+                 refl=jnp.zeros((10,), jnp.int32))
+
+
+def evaluate_inverse_rung(res: dict) -> tuple[dict, bool]:
+    """Gate: the fit must recover a large fraction of each perturbation
+    and shrink the loss. PARAMETER error is the primary gate — bounds
+    sized at ~3x the measured recovery (pos 4.0 -> 0.50 measured, gate
+    <=1.5; rad 2.5 -> 0.027, gate <=0.8; albedo 0.3 -> 0.028, gate
+    <=0.12). The loss check is looser (<=0.6x start, measured 0.51x):
+    the coverage carrier's sigmoid band holds a small (~0.5-unit)
+    biased position equilibrium whose residual silhouette band keeps
+    the L2 well above zero even when every parameter is substantially
+    recovered. A regression in any gradient path (detached shading,
+    sil/vis carriers, optimizer plumbing) blows through the parameter
+    bounds. tests/test_ladder_gate.py asserts the failure modes."""
+    checks = {
+        "loss_reduced": res["loss_final"] <= 0.6 * res["loss_start"],
+        "pos_err<=1.5": res["pos_err_final"] <= 1.5,
+        "rad_err<=0.8": res["rad_err_final"] <= 0.8,
+        "albedo_err<=0.12": res["albedo_err_final"] <= 0.12,
+        "finite": bool(np.isfinite(res["loss_final"])),
+    }
+    return {**res, "checks": checks}, all(checks.values())
+
+
+def run_inverse_rung(scale: int) -> dict:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_bidirectional_raytracer_tpu.core.types import (
+        Camera,
+        IntegratorConfig,
+    )
+    from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+    from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+        static_light_indices,
+    )
+    from gpu_bidirectional_raytracer_tpu.render import film
+
+    w, h = 96, 72
+    steps = max(240 // scale, 40)
+    truth = _inverse_scene()
+    cam = Camera.make(jnp.array([0.0, 26.0, 70.0]),
+                      jnp.array([0.0, 8.0, -6.0]), w, h)
+    li = static_light_indices(truth)
+    key = jax.random.key(0)
+    cfg0 = IntegratorConfig.cpu_golden()
+    target = G.render_radiance(truth, cam, key, cfg0, w, h, li, spp=4)
+    film.write_image(np.asarray(target),
+                     os.path.join(ART, "ladder_inverse_target.png"))
+
+    # Perturb three balls: A's position, B's radius, C's albedo.
+    A, B, C = 3, 4, 5
+    wrong = truth.replace(
+        p=truth.p.at[A].add(jnp.asarray(_INV_POS_OFF, jnp.float32)),
+        rad=truth.rad.at[B].add(_INV_RAD_OFF),
+        c=truth.c.at[C].add(jnp.asarray(_INV_ALB_OFF, jnp.float32)))
+    film.write_image(
+        np.asarray(G.render_radiance(wrong, cam, key, cfg0, w, h, li, 4)),
+        os.path.join(ART, "ladder_inverse_start.png"))
+
+    # Coverage + shadow carriers on: the perturbations are silhouette-
+    # and shadow-dominated at this scale. The room (walls + light,
+    # spheres 0-2) is KNOWN — its gradients are masked so it cannot
+    # absorb transient error while the balls are wrong (unmasked, the
+    # 1e4-radius planes drifted ~5 units and left a loss floor).
+    cfg = dataclasses.replace(cfg0, sil_grad_tau=2.0, vis_grad_tau=2.0)
+    ball_mask = np.concatenate([np.zeros(3), np.ones(7)]).astype(np.float32)
+    inv = G.InverseRenderer(scene=wrong, cam=cam, target=target, cfg=cfg,
+                            width=w, height=h, lr=0.12, spp=4,
+                            optimize=("p", "rad", "c"), resample=False,
+                            loss="l2",
+                            grad_mask={k: ball_mask
+                                       for k in ("p", "rad", "c")})
+
+    def errs(sc):
+        return (float(jnp.abs(sc.p[A] - truth.p[A]).max()),
+                float(jnp.abs(sc.rad[B] - truth.rad[B])),
+                float(jnp.abs(sc.c[C] - truth.c[C]).max()))
+
+    t0 = time.time()
+    loss0 = inv.step()
+    for _ in range(steps - 1):
+        loss = inv.step()
+    p_err, r_err, a_err = errs(inv.scene)
+    film.write_image(
+        np.asarray(G.render_radiance(inv.scene, cam, key, cfg0, w, h,
+                                     li, 4)),
+        os.path.join(ART, "ladder_inverse_recovered.png"))
+    res = {
+        "scene": "10-sphere seeded diffuse (ladder._inverse_scene)",
+        "dims": f"{w}x{h}", "steps": steps, "spp": 4,
+        "seconds": round(time.time() - t0, 1),
+        "loss_start": float(loss0), "loss_final": float(loss),
+        "pos_err_start": float(np.abs(_INV_POS_OFF).max()
+                               if hasattr(np.abs(_INV_POS_OFF), "max")
+                               else max(abs(x) for x in _INV_POS_OFF)),
+        "pos_err_final": p_err,
+        "rad_err_start": abs(_INV_RAD_OFF), "rad_err_final": r_err,
+        "albedo_err_start": max(abs(x) for x in _INV_ALB_OFF),
+        "albedo_err_final": a_err,
+        "backend": inv.backend,
+    }
+    res, passed = evaluate_inverse_rung(res)
+    res["passed"] = passed
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rung", choices=list(RUNGS), default=None)
+    ap.add_argument("--rung", choices=list(RUNGS) + ["inverse"],
+                    default=None)
     ap.add_argument("--scale", type=int, default=1)
     args = ap.parse_args()
     os.makedirs(ART, exist_ok=True)
-    names = [args.rung] if args.rung else list(RUNGS)
+    names = [args.rung] if args.rung else list(RUNGS) + ["inverse"]
     out, ok = {}, True
     path = os.path.join(ART, "LADDER.json")
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
     for name in names:
-        res = run_rung(name, args.scale)
+        res = (run_inverse_rung(args.scale) if name == "inverse"
+               else run_rung(name, args.scale))
         out[name] = res
         ok = ok and res["passed"]
         print(json.dumps({name: res}), flush=True)

@@ -162,8 +162,18 @@ class TestPathTracerParity:
         # virtual shadow ray's occlusion test (len - EPSILON vs a hit on the
         # 1e4-radius wall sphere) is a knife-edge decision that f32-vs-f64
         # rounding flips for a noticeable pixel fraction — a property of the
-        # reference estimator itself. Allow a wider flip fraction here; the
-        # off-surface test below checks the gather math tightly.
+        # reference estimator itself. The 0.12 tolerance is JUSTIFIED by the
+        # round-4 bidirectional census (tools/northstar.py --leg
+        # classify-vpl, artifacts/CLASSIFY_VPL.json): the VPL-gather
+        # occlusion flips at ~6% per shadow test between backends — the
+        # wall-sphere det cancellation puts ~EPSILON-scale noise on the
+        # blocker t at the endpoint gate — only on VALID (on-surface)
+        # window VPLs, uniformly across depths, with every offending pixel
+        # decomposing into flips + rim amplification (0 unexplained). With
+        # a 7-depth walk the per-pixel any-flip probability is tens of
+        # percent; 0.12 at thumbnail scale is the measured-regime bound,
+        # not slack. The off-surface test below checks the gather math
+        # tightly (no knife edge -> near-exact).
         scene, scene_np = cornell
         cfg = IntegratorConfig.gpu()
         key = jax.random.key(11)

@@ -55,7 +55,8 @@ def _jax(platform: str | None):
 
 
 def render_leg(platform: str | None, width: int, height: int, spp: int,
-               out_name: str) -> None:
+               out_name: str, gpu_cfg: bool = False,
+               rng_impl: str = "threefry") -> None:
     jax = _jax(platform)
     from gpu_bidirectional_raytracer_tpu import IntegratorConfig, Renderer
     from gpu_bidirectional_raytracer_tpu.render import film
@@ -63,11 +64,16 @@ def render_leg(platform: str | None, width: int, height: int, spp: int,
 
     orig, target, scene = load_scene(
         os.path.join(REPO, "assets", "scenes", "cornell.scn"))
-    cfg = IntegratorConfig.cpu_golden()
+    # rng_impl is pinned per artifact family: the rounds-1..3 north-star
+    # npys (and their classify legs' jax.random.key(0)) are threefry; the
+    # round-4 VPL-census family runs on the mix32 default. Both impls
+    # satisfy the identical cross-backend replay contract (rng.py).
+    cfg = IntegratorConfig() if gpu_cfg else IntegratorConfig.cpu_golden()
     # backend xla on BOTH legs: the parity claim is the same program on
     # two backends, not pallas-vs-XLA estimator equivalence (that parity
     # has its own tests).
-    r = Renderer(scene, orig, target, width, height, cfg=cfg, backend="xla")
+    r = Renderer(scene, orig, target, width, height, cfg=cfg, backend="xla",
+                 rng_impl=rng_impl)
     t0 = time.time()
     for s in range(spp):
         r.step()
@@ -164,14 +170,14 @@ def compare() -> None:
         sys.exit(1)
 
 
-def _classify_pixels(sample_px: int):
+def _classify_pixels(sample_px: int, family: str = "northstar"):
     """Deterministic stratified pixel sample for the divergence
     classification: the EXTREME tail (worst |diff| — measured to be
     rim-grazing pixels with systematic value amplification), TYPICAL
     offenders (uniformly seeded among allclose failures — the
     decision-flip population), and agreeing pixels (control)."""
-    a = np.load(os.path.join(ART, "northstar_tpu.npy")).astype(np.float64)
-    b = np.load(os.path.join(ART, "northstar_cpu.npy")).astype(np.float64)
+    a = np.load(os.path.join(ART, f"{family}_tpu.npy")).astype(np.float64)
+    b = np.load(os.path.join(ART, f"{family}_cpu.npy")).astype(np.float64)
     h, w, _ = a.shape
     diff = np.abs(a - b).max(axis=-1).ravel()
     off = diff > (1e-4 + 1e-3 * np.abs(b).max(axis=-1).ravel())
@@ -357,6 +363,228 @@ def classify() -> None:
         sys.exit(1)
 
 
+def classify_vpl_leg(platform: str | None, out_name: str,
+                     sample_px: int = 64, spp: int = 256,
+                     width: int = 512, height: int = 384) -> None:
+    """Per-pass facts for the BIDIRECTIONAL (VPL) estimator — the census
+    VERDICT r3 #4 asked for: the production gather's occlusion facts
+    (``device.cu:507-539``) plus the light-WALK facts that shape the
+    gathered window (deposit validity + host sphere id), reproducing the
+    progressive VPL schedule (`render.progressive.vpl_update`: refresh
+    every ``max_iter - 1`` passes, window slides by ``max_vlp`` modulo
+    ``light_points``) in closed form per pass.
+
+    Runs on the mix32 default tape (the production impl; its replay
+    contract is pinned by tools/tpu_replay_check.py).
+    """
+    jax = _jax(platform)
+    import jax.numpy as jnp
+
+    from gpu_bidirectional_raytracer_tpu import camera as cam_mod, rng
+    from gpu_bidirectional_raytracer_tpu.core.types import (
+        Camera,
+        IntegratorConfig,
+        VplBuffer,
+    )
+    from gpu_bidirectional_raytracer_tpu.integrators import (
+        light_tracer,
+        path_tracer,
+    )
+    from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+        static_light_indices,
+    )
+    from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
+
+    pids, strata, w, h = _classify_pixels(sample_px, family="northstar_vpl")
+    assert (w, h) == (width, height), (w, h)
+    n = w * h
+    orig, target, scene = load_scene(
+        os.path.join(REPO, "assets", "scenes", "cornell.scn"))
+    cfg = IntegratorConfig()  # the GPU/bidirectional intent
+    cam = Camera.make(orig, target, w, h)
+    li = static_light_indices(scene)
+    key = rng.make_key(0, "mix32")
+    period = max(cfg.max_iter - 1, 1)
+
+    # --- closed-form schedule: one VPL trace per refresh, windows per pass
+    refresh_samples = jnp.arange(0, spp, period, dtype=jnp.int32)
+
+    @jax.jit
+    def all_windows():
+        vpls_all = jax.vmap(
+            lambda s: light_tracer.trace_light_paths(scene, cfg, li, key, s)
+        )(refresh_samples)
+
+        def window(s):
+            r = s // period
+            idx = (r * cfg.max_vlp) % cfg.light_points
+            lanes = (idx + jnp.arange(cfg.max_vlp)) % cfg.light_points
+            take = lambda arr: jax.tree.map(
+                lambda a: a[r][:, lanes], arr)  # noqa: E731
+            return take(vpls_all)
+
+        return jax.vmap(window)(jnp.arange(spp, dtype=jnp.int32))
+
+    wins = all_windows()  # VplBuffer with leading [spp] axis, [D, V] lanes
+
+    def one_pixel(pid):
+        px = (pid % w)[None]
+        py = (pid // w)[None]
+
+        def one_pass(_, xs):
+            s, win = xs
+            uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, 1,
+                                   lane_offset=pid, lane_total=n)
+            rays = cam_mod.primary_rays(cam, w, h, uv[0], uv[1], px, py)
+            rad, aux = path_tracer.trace(
+                scene, cfg, li, rays, key, s, lane_offset=pid,
+                lane_total=n, vpls=win, vlp_index=jnp.int32(0),
+                collect_aux=True)
+            # aux: hit ids [D,1], occ_l [D,1,L], occ_v [D,1,V],
+            # ok gates [D,1,L], branch bits [D,1], roots [D,1]
+            return 0, (rad[0], aux[0][:, 0], aux[1][:, 0, :],
+                       aux[2][:, 0, :], aux[3][:, 0, :], aux[4][:, 0],
+                       aux[5][:, 0], win.valid.reshape(-1),
+                       (win.sid if win.sid is not None
+                        else jnp.zeros_like(win.valid, jnp.int32)
+                        ).reshape(-1))
+
+        _, outs = jax.lax.scan(one_pass, 0,
+                               (jnp.arange(spp, dtype=jnp.int32), wins))
+        return outs
+
+    t0 = time.time()
+    (rads, hids, occl, occv, oks, bits, roots, wvalid, wsid) = jax.jit(
+        jax.vmap(one_pixel))(jnp.asarray(pids))
+    jax.block_until_ready(rads)
+    np.savez(os.path.join(ART, out_name + ".npz"),
+             pids=pids, strata=strata, rad=np.asarray(rads),
+             hid=np.asarray(hids), occl=np.asarray(occl),
+             occv=np.asarray(occv), ok=np.asarray(oks),
+             bits=np.asarray(bits), roots=np.asarray(roots),
+             wvalid=np.asarray(wvalid), wsid=np.asarray(wsid), spp=spp)
+    print(json.dumps({"leg": out_name, "pixels": int(len(pids)),
+                      "spp": spp, "seconds": round(time.time() - t0, 1),
+                      "platform": jax.default_backend()}))
+
+
+def classify_vpl() -> None:
+    """Decision-flip census of the BIDIRECTIONAL estimator:
+    artifacts/CLASSIFY_VPL.json (VERDICT r3 #4).
+
+    Extends the cpu_golden census (`classify`) with the production
+    estimator's own decision set: per-vertex VPL-gather occlusion (the
+    vacuum any-hit of ``device.cu:507-539``) and the light-WALK facts
+    that shape the gathered window (deposit validity + host sphere id —
+    a light-subpath hit-id flip on the other backend changes the VPL a
+    pixel gathers, which is a flip mechanism the eye-side census cannot
+    see). Offenders must decompose into the same two mechanisms as the
+    unidirectional census; exits nonzero otherwise.
+    """
+    from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
+
+    t = np.load(os.path.join(ART, "classify_vpl_tpu.npz"))
+    c = np.load(os.path.join(ART, "classify_vpl_cpu.npz"))
+    assert (t["pids"] == c["pids"]).all()
+    spp = int(t["spp"])
+    strata = t["strata"]
+    rad_t, rad_c = t["rad"].astype(np.float64), c["rad"].astype(np.float64)
+    # Relevance masks: raw occlusion entries on dead/non-diffuse lanes
+    # are deterministic garbage (see path_tracer collect_aux notes) —
+    # a VPL-occ flip only matters where the vertex is alive AND diffuse.
+    _, _, scene = load_scene(
+        os.path.join(REPO, "assets", "scenes", "cornell.scn"))
+    refl = np.asarray(scene.refl)
+    gathers = {}
+    for name, d in (("tpu", t), ("cpu", c)):
+        hid = d["hid"]
+        live_diff = (hid >= 0) & (refl[np.maximum(hid, 0)] == 0)
+        gathers[name] = np.where(live_diff[..., None], d["occv"], -1)
+    facts_parts = {
+        "hit_id": (t["hid"] != c["hid"]).any(axis=-1),
+        "nee_gate": (t["ok"] != c["ok"]).any(axis=(-2, -1)),
+        "fresnel_branch": (t["bits"] != c["bits"]).any(axis=-1),
+        "root_choice": (t["roots"] != c["roots"]).any(axis=-1),
+        "vpl_occlusion": (gathers["tpu"] != gathers["cpu"]
+                          ).any(axis=(-2, -1)),
+        "light_walk_window": ((t["wvalid"] != c["wvalid"]).any(axis=-1)
+                              | (t["wsid"] != c["wsid"]).any(axis=-1)),
+    }
+    # Mechanism decomposition of the VPL-occlusion flips (measured ~50x
+    # the hit-id rate): flips live ONLY on VALID window VPLs, uniformly
+    # across depths — valid VPLs deposit ON cornell's 1e4-radius wall
+    # spheres, whose quadratic det = b^2 - |op|^2 + r^2 is a difference
+    # of ~1e8-magnitude terms, so float32 cancellation noise in the
+    # blocker t is of order EPSILON at the segment's endpoint gate
+    # (t < maxt - EPSILON). Symmetric per-pass noise, not bias: the
+    # image-level gate (NCC/energy) holds and every offender decomposes.
+    occ_flip = (gathers["tpu"] != gathers["cpu"])            # [P,spp,D,V]
+    wvalid_both = (t["wvalid"].astype(bool)
+                   & c["wvalid"].astype(bool))               # [P,spp,V]
+    vpl_occ_detail = {
+        "per_shadow_test_flip_rate": float(occ_flip.mean()),
+        "flip_rate_on_valid_window": float(
+            (occ_flip & wvalid_both[:, :, None, :]).mean()),
+        "flip_rate_on_invalid_window": float(
+            (occ_flip & ~wvalid_both[:, :, None, :]).mean()),
+        "per_depth_rates": [round(float(occ_flip[:, :, d].mean()), 5)
+                            for d in range(occ_flip.shape[2])],
+        "mechanism": "giant-wall-sphere det cancellation (~EPSILON t "
+                     "noise) at the endpoint gate of segments to VPLs "
+                     "deposited on those walls",
+    }
+    any_flip = np.zeros_like(facts_parts["hit_id"])
+    for v in facts_parts.values():
+        any_flip = any_flip | v
+    facts_eq = ~any_flip                                        # [P, spp]
+    sdiff = (rad_t - rad_c).mean(axis=-1)                       # [P, spp]
+    P = len(t["pids"])
+    fe_bias = np.array([sdiff[p][facts_eq[p]].mean()
+                        if facts_eq[p].any() else 0.0 for p in range(P)])
+    fe_mag = np.array([np.abs(sdiff[p][facts_eq[p]]).mean()
+                       if facts_eq[p].any() else 0.0 for p in range(P)])
+    systematic = np.abs(fe_bias) > 0.5 * np.maximum(fe_mag, 1e-12)
+    pix_diff = sdiff.mean(axis=1)
+    flip_part = np.where(~facts_eq, sdiff, 0.0).mean(axis=1)
+    resid = np.abs(pix_diff - flip_part)
+    n_flip = (~facts_eq).sum(axis=1)
+    offender = strata != "agree"
+    mech_flip = offender & (n_flip > 0) & (
+        resid <= np.maximum(0.25 * np.abs(pix_diff), 2e-3))
+    mech_rim = offender & systematic & (fe_mag > 1e-3)
+    unexplained = offender & ~(mech_flip | mech_rim)
+    rates = {k: float(v.mean()) for k, v in facts_parts.items()}
+    agree = strata == "agree"
+    out = {
+        "estimator": "bidirectional_vpl (IntegratorConfig gpu intent)",
+        "rng_impl": "mix32",
+        "pixels": P, "spp": spp,
+        "strata": {s: int((strata == s).sum())
+                   for s in ("tail", "typical", "agree")},
+        "per_decision_flip_rates": rates,
+        "vpl_occlusion_detail": vpl_occ_detail,
+        "facts_equal_pass_fraction": float(facts_eq.mean()),
+        "offenders_mechanism_decision_flips": int(mech_flip.sum()),
+        "offenders_mechanism_rim_amplification": int(mech_rim.sum()),
+        "offenders_both": int((mech_flip & mech_rim).sum()),
+        "offenders_unexplained": int(unexplained.sum()),
+        "control_facts_equal_mean_abs_diff": float(
+            fe_mag[agree].mean()) if agree.any() else None,
+        "classification": None,
+    }
+    ok_verdict = out["offenders_unexplained"] == 0
+    out["classification"] = (
+        "every sampled offending pixel decomposes into decision flips "
+        "(now including VPL-gather occlusion and light-walk window "
+        "facts) and/or systematic rim amplification"
+        if ok_verdict else "UNEXPLAINED — investigate")
+    with open(os.path.join(ART, "CLASSIFY_VPL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    if not ok_verdict:
+        sys.exit(1)
+
+
 def emulate(spp: int) -> None:
     jax = _jax(None)
     from gpu_bidirectional_raytracer_tpu import IntegratorConfig, Renderer
@@ -414,7 +642,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg", required=True,
                     choices=["tpu", "cpu", "compare", "emulate",
-                             "classify-tpu", "classify-cpu", "classify"])
+                             "classify-tpu", "classify-cpu", "classify",
+                             "vpl-tpu", "vpl-cpu",
+                             "classify-vpl-tpu", "classify-vpl-cpu",
+                             "classify-vpl"])
     ap.add_argument("--spp", type=int, default=1024)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=768)
@@ -433,6 +664,17 @@ def main():
         classify_leg("cpu", "classify_cpu", spp=args.spp)
     elif args.leg == "classify":
         classify()
+    elif args.leg in ("vpl-tpu", "vpl-cpu"):
+        render_leg(None if args.leg == "vpl-tpu" else "cpu",
+                   512, 384, 256,
+                   f"northstar_vpl_{args.leg.split('-')[1]}",
+                   gpu_cfg=True, rng_impl="mix32")
+    elif args.leg == "classify-vpl-tpu":
+        classify_vpl_leg(None, "classify_vpl_tpu", spp=256)
+    elif args.leg == "classify-vpl-cpu":
+        classify_vpl_leg("cpu", "classify_vpl_cpu", spp=256)
+    elif args.leg == "classify-vpl":
+        classify_vpl()
     else:
         emulate(args.spp)
 

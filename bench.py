@@ -115,9 +115,11 @@ def main() -> None:
                        "assets", "scenes", "cornell.scn")
     orig, target, scene = load_scene(scn)
     cfg = IntegratorConfig()  # GPU intent: bidirectional, use_vpl=True
+    from gpu_bidirectional_raytracer_tpu import rng as rng_mod
+
     cam = Camera.make(orig, target, width, height)
     light_idx = static_light_indices(scene)
-    key = jax.random.key(0)
+    key = rng_mod.make_key(0)  # the default (mix32) tape on EVERY leg
     n_rays = width * height
     L = max(len(light_idx), 1)
     n_vpl_window = cfg.vpl_depth * cfg.max_vlp
@@ -145,6 +147,10 @@ def main() -> None:
     def _err(leg: str, e: Exception) -> None:
         errors[leg] = f"{type(e).__name__}: {e}"[:300]
 
+    # Leg order is budget-aware (VERDICT r3 #2: the round-3 complex leg
+    # never ran because every secondary leg compiled first): headline
+    # forward -> headline fwd+bwd -> complex.scn -> then the tracked
+    # secondary legs, each budget-gated.
     try:
         jax.block_until_ready(fwd_pallas(state))  # smoke: pallas routes
         t_sustained = _sustained(chunk_pallas, state)
@@ -153,36 +159,6 @@ def main() -> None:
         _err("fwd_pallas", e)
         t_fwd_pl = None
         t_sustained = _sustained(chunk_xla, state)
-    try:
-        t_sustained_xla = _sustained(chunk_xla, state, n_long=40)
-    except Exception as e:
-        _err("sustained_xla", e)
-        t_sustained_xla = None
-    t_fwd = t_sustained_xla or t_sustained
-
-    # Fast-tape serving mode (rng_impl='rbg'): same estimator/kernel, the
-    # threefry tape (~half the pass) swapped for the hardware bit
-    # generator — quality-equivalent beauty renders, not replayable
-    # across backends (see render.progressive.init_state).
-    try:
-        state_rbg = init_state(width, height, cfg, seed=0, rng_impl="rbg")
-        t_sustained_rbg = _sustained(
-            chunk_pallas if t_fwd_pl else chunk_xla, state_rbg)
-    except Exception as e:
-        _err("fast_rng", e)
-        t_sustained_rbg = None
-
-    # ---- bounce-aware work census (one instrumented XLA trace) ---------
-    rays = frame_rays(cam, cfg, width, height, key, jnp.int32(0))
-    _, stats = jax.jit(
-        lambda: path_tracer.trace(scene, cfg, light_idx, rays, key,
-                                  jnp.int32(0), with_stats=True))()
-    n_ext = int(stats["extension_segments"])
-    n_dv = int(stats["diffuse_vertices"])
-    shadow_rays = n_dv * (L + (n_vpl_window if cfg.use_vpl else 0))
-    segments = n_ext + shadow_rays
-    sphere_tests = segments * scene.num_spheres
-    flops_model = sphere_tests * _FLOPS_PER_SPHERE_TEST
 
     # ---- fwd+bwd training step: bidirectional (VPL) estimator ----------
     tgt = jnp.zeros((height, width, 3), jnp.float32)
@@ -230,26 +206,26 @@ def main() -> None:
         t_fb = _fb_sustained(scene, cam, tgt, width, height, light_idx,
                              "xla")
         bwd_backend = "xla"
-    try:
-        t_fb_xla = (_fb_sustained(scene, cam, tgt, width, height,
-                                  light_idx, "xla", n_long=16)
-                    if os.environ.get("BENCH_SKIP_XLA_BWD") != "1"
-                    else None)
-    except Exception as e:
-        _err("fwd_bwd_xla", e)
-        t_fb_xla = None
     t_fb_sus = t_fb
 
     # ---- many-sphere leg: complex.scn (783 spheres) ---------------------
     # Driver-captured so the many-sphere numbers aren't tool-claimed only.
-    # Skipped when the time budget is nearly spent (the driver runs bench
-    # under a 580s timeout; cold remote compiles are minutes) or when
-    # BENCH_SKIP_COMPLEX=1.
+    # Runs IMMEDIATELY after the two headline legs (VERDICT r3 #2 — in
+    # round 3 every secondary leg compiled first and the 580s budget ran
+    # out at 1272s elapsed). Skipped only when the budget really is spent
+    # or BENCH_SKIP_COMPLEX=1.
+    # Default budget 1200s: the driver invokes bench WITHOUT a timeout
+    # (round-3 PROGRESS.jsonl cmd; its JSON was captured at 1272s
+    # elapsed), so the budget is self-imposed pacing for cold-compile
+    # worst cases, not a hard wall. A warmed .jax_cache makes the whole
+    # run minutes shorter than this.
     complex_extra: dict = {}
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "580"))
-    elapsed = time.perf_counter() - _T0
-    if (os.environ.get("BENCH_SKIP_COMPLEX") != "1"
-            and elapsed < budget_s - 120.0):
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+    def _left():
+        return budget_s - (time.perf_counter() - _T0)
+
+    if (os.environ.get("BENCH_SKIP_COMPLEX") != "1" and _left() > 120.0):
         try:
             corig, ctarget, cscene = load_scene(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -284,7 +260,60 @@ def main() -> None:
     else:
         complex_extra["complex_skipped"] = (
             "env" if os.environ.get("BENCH_SKIP_COMPLEX") == "1"
-            else f"budget ({elapsed:.0f}s elapsed)")
+            else f"budget ({time.perf_counter() - _T0:.0f}s elapsed)")
+
+    # ---- secondary tracked legs (each budget-gated) ---------------------
+    # XLA-tracer forward (the pallas/XLA gap is a tracked number).
+    t_sustained_xla = None
+    if _left() > 90.0:
+        try:
+            t_sustained_xla = _sustained(chunk_xla, state, n_long=40)
+        except Exception as e:
+            _err("sustained_xla", e)
+    t_fwd = t_sustained_xla or t_sustained
+
+    # RNG-impl ablation: threefry (rounds-1..3 contract tape) and rbg
+    # (hardware bit generator) against the mix32 default — the tape-cost
+    # ledger behind VERDICT r3 #1 (see render.progressive.init_state).
+    rng_extra: dict = {}
+    for impl, label in (("threefry", "threefry"), ("rbg", "fast_rng")):
+        if _left() < 90.0:
+            break
+        try:
+            st_i = init_state(width, height, cfg, seed=0, rng_impl=impl)
+            t_i = _sustained(chunk_pallas if t_fwd_pl else chunk_xla, st_i)
+            rng_extra[f"pass_ms_sustained_{label}"] = round(t_i * 1e3, 3)
+            rng_extra[f"rays_per_sec_sustained_{label}"] = round(
+                n_rays / t_i, 1)
+        except Exception as e:
+            _err(f"sustained_{label}", e)
+
+    # XLA remat fwd+bwd (the hand-written-adjoint speedup denominator).
+    t_fb_xla = None
+    if _left() > 120.0 and os.environ.get("BENCH_SKIP_XLA_BWD") != "1":
+        try:
+            t_fb_xla = _fb_sustained(scene, cam, tgt, width, height,
+                                     light_idx, "xla", n_long=16)
+        except Exception as e:
+            _err("fwd_bwd_xla", e)
+
+    # ---- bounce-aware work census (one instrumented XLA trace) ---------
+    segments = n_ext = shadow_rays = sphere_tests = None
+    flops_model = None
+    if _left() > 60.0:
+        try:
+            rays = frame_rays(cam, cfg, width, height, key, jnp.int32(0))
+            _, stats = jax.jit(
+                lambda: path_tracer.trace(scene, cfg, light_idx, rays, key,
+                                          jnp.int32(0), with_stats=True))()
+            n_ext = int(stats["extension_segments"])
+            n_dv = int(stats["diffuse_vertices"])
+            shadow_rays = n_dv * (L + (n_vpl_window if cfg.use_vpl else 0))
+            segments = n_ext + shadow_rays
+            sphere_tests = segments * scene.num_spheres
+            flops_model = sphere_tests * _FLOPS_PER_SPHERE_TEST
+        except Exception as e:
+            _err("census", e)
 
     dev = jax.devices()[0]
     t_best_fwd = t_fwd_pl if t_fwd_pl else t_fwd
@@ -308,12 +337,8 @@ def main() -> None:
             "pass_ms_sustained_xla": (
                 round(t_sustained_xla * 1e3, 3) if t_sustained_xla
                 else None),
-            "pass_ms_sustained_fast_rng": (
-                round(t_sustained_rbg * 1e3, 3) if t_sustained_rbg
-                else None),
-            "rays_per_sec_sustained_fast_rng": (
-                round(n_rays / t_sustained_rbg, 1) if t_sustained_rbg
-                else None),
+            "rng_impl_default": "mix32",
+            **rng_extra,
             "pass_ms_fwd_bwd_sustained": (
                 round(t_fb_sus * 1e3, 3) if t_fb_sus else None),
             "rays_per_sec_fwd_bwd_sustained": (
@@ -323,12 +348,16 @@ def main() -> None:
             "segments_per_pass": segments,
             "extension_segments": n_ext,
             "shadow_rays": shadow_rays,
-            "segments_per_sec_fwd": round(segments / t_best_fwd, 1),
-            "segments_per_sec_fwd_bwd": round(segments / t_fb, 1),
+            "segments_per_sec_fwd": (
+                round(segments / t_best_fwd, 1) if segments else None),
+            "segments_per_sec_fwd_bwd": (
+                round(segments / t_fb, 1) if segments else None),
             "sphere_tests_per_pass": sphere_tests,
-            "model_gflops_per_pass": round(flops_model / 1e9, 3),
-            "vpu_util_lower_bound_pct_fwd": round(
-                100.0 * flops_model / t_best_fwd / _VPU_PEAK_FLOPS, 2),
+            "model_gflops_per_pass": (
+                round(flops_model / 1e9, 3) if flops_model else None),
+            "vpu_util_lower_bound_pct_fwd": (
+                round(100.0 * flops_model / t_best_fwd / _VPU_PEAK_FLOPS, 2)
+                if flops_model else None),
             "resolution": f"{width}x{height}",
             "device": str(dev.device_kind),
             "platform": dev.platform,

@@ -327,3 +327,14 @@ class TestReviewRegression:
         with pytest.raises(SceneParseError, match="non-numeric"):
             parse_scene("camera 0 0 x 1 1 1\nsize 1\n"
                         "sphere 1 0 0 0 0 0 0 1 1 1 0\n")
+
+
+def test_default_rng_impl_is_mix32():
+    """The default render tape is the frozen mix32 contract (rng.py) —
+    a silent flip back to threefry would halve the sustained pass
+    (artifacts/RNG_TAPE.json) and change every default-seed render."""
+    from gpu_bidirectional_raytracer_tpu.core.types import IntegratorConfig
+    from gpu_bidirectional_raytracer_tpu.render.progressive import init_state
+
+    st = init_state(8, 8, IntegratorConfig())
+    assert "mx32" in str(st.key.dtype), st.key.dtype

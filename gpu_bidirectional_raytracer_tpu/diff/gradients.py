@@ -225,15 +225,30 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         out = out + leg(o_l, d_l, active, tint, k, use_rad=(k == 0))
         if k == depth_cap:
             break
-        hit_k, t_k, hid_k = isect.intersect(scene0, o_l, d_l)
-        p_k, _, c_k, refl_k = isect.gather_sphere_attrs(scene0, hid_k)
+        hit_k, _, hid_k = isect.intersect(scene0, o_l, d_l)
+        p_k0, _, c_k, refl_k = isect.gather_sphere_attrs(scene0, hid_k)
+        # The chain geometry is DIFFERENTIABLE through the stopped hit
+        # ids (round 4): the reflected/refracted ray moves with the
+        # upstream sphere's position/radius, so a terminal hit's
+        # coverage sweep carries d(det)/d(upstream params) — the
+        # interior-image motion of a mirror or lens as IT moves, which
+        # the fully-stopped walk missed (measured: the dark-glass rim
+        # lateral was 62% under FD; a mirrored sphere carries no
+        # gradient w.r.t. the MIRROR's position at all). Hit
+        # points/normals come from one-hot gathers of the REAL scene on
+        # the stopped ids, with the guarded one-sphere root
+        # (`intersect.sphere_root`) supplying a differentiable t.
+        oh_k = jax.nn.one_hot(hid_k, scene.num_spheres, dtype=jnp.float32)
+        p_k = jnp.dot(oh_k, scene.p, preferred_element_type=jnp.float32)
+        r_sph = jnp.dot(oh_k, scene.rad[:, None],
+                        preferred_element_type=jnp.float32)[:, 0]
+        t_k = isect.sphere_root(o_l, d_l, p_k, r_sph)
         hp_k = o_l + jnp.where(hit_k, t_k, 1.0)[:, None] * d_l
         n_k = vm.norm(hp_k - p_k, eps=1e-20)
         r_k = d_l - 2.0 * vm.dot(n_k, d_l)[:, None] * n_k
-        # Dielectric continuation on the stopped geometry: the
-        # deterministic transmission branch of device.cu:715-770 (all in
-        # stop_gradient land — only the terminal-hit coverage of each
-        # leg carries gradient).
+        # Dielectric continuation: the deterministic transmission branch
+        # of device.cu:715-770. Discrete choices (into, TIR, material)
+        # are inherently stopped; the double-where guards the TIR sqrt.
         dp_k = vm.dot(n_k, d_l)
         into = dp_k < 0.0
         nl_k = vm.smul(jnp.where(into, 1.0, -1.0), n_k)
@@ -241,12 +256,13 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         ddn = vm.dot(d_l, nl_k)
         cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
         tir = cos2t < 0.0
+        safe_cos = jnp.where(tir, 1.0, jnp.maximum(cos2t, 1e-12))
         kk = (jnp.where(into, 1.0, -1.0)
-              * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))))
+              * (ddn * nnt + jnp.where(tir, 0.0, jnp.sqrt(safe_cos))))
         t_dir = vm.norm(nnt[:, None] * d_l - kk[:, None] * n_k, eps=1e-20)
         r0 = ((NT - NC) / (NT + NC)) ** 2
         c1 = 1.0 - jnp.where(into, -ddn, vm.dot(t_dir, n_k))
-        re = r0 + (1.0 - r0) * c1 ** 5
+        re = sg(r0 + (1.0 - r0) * c1 ** 5)
         is_spec = refl_k == SPEC
         is_refr = refl_k == REFR
         take_refl = is_spec | (is_refr & tir)
@@ -254,7 +270,7 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         trans_w = jnp.where(is_refr & jnp.logical_not(tir),
                             1.0 - re, 1.0)
         active = active * (hit_k & (is_spec | is_refr)).astype(jnp.float32)
-        tint = tint * c_k * trans_w[:, None]
+        tint = sg(tint * c_k * trans_w[:, None])
         o_l, d_l = hp_k, next_d
     return out
 

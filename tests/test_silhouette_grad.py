@@ -554,3 +554,59 @@ class TestLensSilhouette:
         err_detached = fit(cfg0)
         assert err_carrier < 2.0, err_carrier          # from 3.0
         assert err_carrier < err_detached, (err_carrier, err_detached)
+
+
+class TestMirrorMotionSilhouette:
+    """The chain walk's geometry is DIFFERENTIABLE through the stopped
+    hit ids (round 4): moving the MIRROR moves the reflected image, and
+    the terminal-hit coverage sweep now carries d(det)/d(mirror params)
+    — previously zero (the walk was fully stopped). Probed: mirror-z
+    FD +200.0 vs detached +33.4 vs carrier +164.1 (18% err)."""
+
+    @pytest.fixture(scope="class")
+    def msetup(self):
+        from gpu_bidirectional_raytracer_tpu.core.types import SPEC
+
+        scene = Scene(
+            rad=jnp.array([1000.0, 14.0, 6.0]),
+            p=jnp.array([[0.0, 0.0, -1000.0],   # near-flat mirror z~0
+                         [0.0, 30.0, 80.0],     # target behind the camera
+                         [0.0, 60.0, 60.0]]),   # light
+            e=jnp.array([[0.0, 0.0, 0.0],
+                         [0.0, 0.0, 0.0],
+                         [30.0, 30.0, 30.0]]),
+            c=jnp.array([[0.9, 0.9, 0.9],
+                         [0.7, 0.4, 0.2],
+                         [0.0, 0.0, 0.0]]),
+            refl=jnp.array([SPEC, 0, 0], jnp.int32),
+        )
+        cam = Camera.make(jnp.array([0.0, 0.0, 60.0]),
+                          jnp.array([0.0, 0.0, 0.0]), W, H)
+        li = static_light_indices(scene)
+        key = jax.random.key(0)
+        wts = jax.random.uniform(jax.random.key(7), (H, W, 3))
+        return scene, cam, li, key, wts
+
+    def test_mirror_z_motion_matches_fd(self, msetup):
+        scene, cam, li, key, wts = msetup
+
+        def grads(tau):
+            cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                      sil_grad_tau=tau, sil_spec_depth=2)
+
+            def render_fn(sc):
+                return G.render_radiance(sc, cam, key, cfg, W, H, li, 8)
+
+            auto = jax.grad(lambda sc: jnp.sum(wts * render_fn(sc)),
+                            allow_int=True)(scene)
+            fd = float((np.asarray(wts)
+                        * G.pixel_grad_fd(scene, render_fn, "p", (0, 2),
+                                          2.0)).sum())
+            return float(np.asarray(auto.p)[0, 2]), fd
+
+        got_det, fd = grads(0.0)
+        got_sil, _ = grads(1.5)
+        # detached misses most of the reflected-image sweep
+        assert abs(got_det - fd) / abs(fd) > 0.5, (got_det, fd)
+        assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
+        assert abs(got_sil - fd) / abs(fd) < 0.3, (got_sil, fd)

@@ -122,9 +122,13 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
     refraction (the stopped Fresnel transmittance; the Fresnel-REFLECTED
     component of a glass hit is not walked — a documented bias that
     skips the dimmer mirrored silhouette). The depth-k tape feeds each
-    leg's NEE. The chain geometry itself is detached (hit points /
-    reflection / refraction directions from the stopped scene): each
-    leg carries ONLY the coverage of its own terminal hit. Note a glass
+    leg's NEE. The chain GEOMETRY is DIFFERENTIABLE through the stopped
+    hit ids (round 4): hit points / normals / reflection / refraction
+    directions come from one-hot gathers of the real scene, so a
+    terminal hit's coverage also sweeps with the UPSTREAM mirror/lens
+    parameters — the reflected image's motion as the mirror itself
+    moves carries gradient (TestMirrorMotionSilhouette; only the
+    discrete choices and the Fresnel weight are stopped). Note a glass
     sphere costs TWO legs (entry + exit interfaces) before the revealed
     background, so a lens needs ``sil_spec_depth >= 2`` (the default).
     Diffuse-bounce (truly indirect) silhouettes remain detached.

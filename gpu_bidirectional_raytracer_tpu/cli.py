@@ -43,6 +43,23 @@ def _config(mode: str):
             else IntegratorConfig.gpu())
 
 
+def _rng_resume_hint(stored_dtype: str | None) -> str:
+    """Flag suggestion matching a checkpoint's stored PRNG-key dtype tag.
+
+    Pre-round-4 checkpoints were written under the then-default threefry
+    tape, so the common mismatch today is `--rng mix32` (the current
+    default) against a `key<fry>` checkpoint."""
+    hints = {
+        "key<fry>": "resume with --rng threefry (pre-round-4 checkpoints "
+                    "used the threefry default)",
+        "key<rbg>": "resume with --fast-rng (or --rng rbg)",
+        "key<mx32>": "resume without --rng/--fast-rng (mix32 is the "
+                     "default)",
+    }
+    return hints.get(stored_dtype,
+                     "resume under the setting it was written with")
+
+
 def cmd_render(args) -> int:
     from gpu_bidirectional_raytracer_tpu.render import film
     from gpu_bidirectional_raytracer_tpu.render.progressive import Renderer
@@ -60,17 +77,18 @@ def cmd_render(args) -> int:
         try:
             restored = ckpt.restore(args.checkpoint, r.state)
         except Exception as e:
-            # The PRNG key's stored data shape depends on the rng impl
-            # ((2,) uint32 threefry vs (4,) rbg); a cross-impl resume
-            # surfaces as an opaque orbax shape/dtype mismatch (ADVICE
-            # r3). init_state documents cross-impl resume as unsupported.
+            # Cross-impl resumes in older orbax surfaced as an opaque
+            # key shape/dtype mismatch ((2,) mix32/threefry vs (4,)
+            # rbg). Match the KEY DTYPE TAG (`key<...>`) or the shape
+            # pair — not bare 'key', which appears in unrelated restore
+            # errors and would mislabel them (ADVICE r4).
             msg = str(e)
-            if "key" in msg or "(2,)" in msg or "(4,)" in msg:
+            if "key<" in msg or ("(2,)" in msg and "(4,)" in msg):
                 print(
                     f"error: checkpoint at {args.checkpoint} was written "
-                    f"with a different --fast-rng setting than this run "
-                    f"(the PRNG key layout differs); resume with the "
-                    f"same setting it was written under.\n  ({e})",
+                    f"under a different --rng/--fast-rng setting than "
+                    f"this run (the PRNG key layout differs); "
+                    f"{_rng_resume_hint(None)}\n  ({e})",
                     file=sys.stderr)
                 return 2
             raise
@@ -78,13 +96,16 @@ def cmd_render(args) -> int:
             if restored.key.dtype != r.state.key.dtype:
                 # Orbax restores the SAVED key impl regardless of the
                 # template: the run would silently continue on the
-                # checkpoint's RNG, ignoring --fast-rng (ADVICE r3).
+                # checkpoint's RNG, ignoring --rng/--fast-rng (ADVICE
+                # r3/r4). Name the stored impl and suggest the flag
+                # that matches it.
                 print(
                     f"error: checkpoint at {args.checkpoint} was written "
-                    f"with a different --fast-rng setting "
+                    f"under a different --rng/--fast-rng setting "
                     f"(stored key {restored.key.dtype}, requested "
-                    f"{r.state.key.dtype}); resume with the setting it "
-                    f"was written under.", file=sys.stderr)
+                    f"{r.state.key.dtype}); "
+                    f"{_rng_resume_hint(str(restored.key.dtype))}",
+                    file=sys.stderr)
                 return 2
             r.state = restored
             print(f"resumed at sample {int(r.state.sample)}", file=sys.stderr)

@@ -146,6 +146,15 @@ def _mix32_random_bits(key: Array, bit_width: int, shape) -> Array:
     bits = _mix32(ctr ^ k0, k1).reshape(shape)
     if bit_width == 32:
         return bits
+    if bit_width > 32:
+        # A silent wrong answer here would be worse than an error: the
+        # u32 shift below would wrap (32-64 -> 4294967264), an
+        # out-of-range shift whose XLA result is undefined. 64-bit draws
+        # only arise under jax x64 mode, which the renderer never uses.
+        raise NotImplementedError(
+            f"mix32 is a 32-bit bitstream; {bit_width}-bit draws (jax "
+            f"x64 mode) are not supported — use impl='threefry' for "
+            f"x64 tapes")
     # Narrow widths truncate the frozen 32-bit stream (top bits).
     return (bits >> jnp.uint32(32 - bit_width)).astype(
         jnp.dtype(f"uint{bit_width}"))
@@ -181,8 +190,30 @@ try:  # pragma: no cover - registry layout is version-dependent
 
     _jax_prng.prngs.setdefault("mx32", MIX32_IMPL._impl)
     _jax_prng.prngs.setdefault("mix32", MIX32_IMPL._impl)
-except Exception:  # noqa: BLE001 - fall back to in-process keys only
-    pass
+except Exception as _reg_err:  # noqa: BLE001 - keys still work in-process
+    import warnings
+
+    # A jax upgrade that moves the registry must fail LOUDLY here:
+    # without the registration, wrap_key_data(..., impl="mx32") cannot
+    # resolve and mix32 CHECKPOINTS BECOME UNRESTORABLE (restores would
+    # later fail with opaque errors). tests/test_checkpoint.py asserts
+    # registration succeeded so a jax bump breaks the suite, not a user.
+    warnings.warn(
+        "mix32 PRNG registry hook failed; mix32 keys work in-process "
+        f"but mix32 CHECKPOINTS WILL NOT RESTORE (by-name resolution "
+        f"via jax._src.prng.prngs is unavailable: {_reg_err!r})",
+        RuntimeWarning)
+
+
+def mix32_is_registered() -> bool:
+    """True if mix32 resolves by name in jax's PRNG registry (required
+    for checkpoint restore; asserted by tests/test_checkpoint.py)."""
+    try:
+        from jax._src import prng as _p
+
+        return _p.prngs.get("mx32") is MIX32_IMPL._impl
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def make_key(seed, impl: str | None = None) -> Array:

@@ -61,4 +61,42 @@ def test_cross_impl_resume_is_rejected_clearly(tmp_path, capsys):
                    "--resume", "--fast-rng", "--out", out])
     assert rc == 2
     err = capsys.readouterr().err
-    assert "different --fast-rng setting" in err
+    assert "different --rng/--fast-rng setting" in err
+    # The hint names the flag matching the STORED impl (mix32 default).
+    assert "without --rng/--fast-rng" in err
+
+
+def test_mix32_registry_hook_active():
+    """mix32 must resolve by name in jax's PRNG registry — that is what
+    makes mix32 checkpoints restorable (wrap_key_data(impl="mx32")). A
+    jax upgrade that moves the registry must fail HERE, loudly, instead
+    of surfacing later as an opaque user-facing restore error (ADVICE
+    r4)."""
+    from gpu_bidirectional_raytracer_tpu import rng
+
+    assert rng.mix32_is_registered()
+
+
+def test_threefry_checkpoint_hint_names_rng_flag(tmp_path, capsys):
+    """A pre-round-4 (threefry) checkpoint resumed under today's mix32
+    default must point at `--rng threefry`, not at --fast-rng (ADVICE
+    r4: with three impls the common mismatch is the impl default
+    change, which only the dtype check catches)."""
+    import os
+
+    from gpu_bidirectional_raytracer_tpu import cli
+
+    scn = os.path.join(os.path.dirname(__file__), "..", "assets",
+                       "scenes", "simple.scn")
+    ckdir = str(tmp_path / "ck")
+    out = str(tmp_path / "a.ppm")
+    rc = cli.main(["render", scn, "--width", "16", "--height", "12",
+                   "--spp", "2", "--mode", "cpu", "--rng", "threefry",
+                   "--checkpoint", ckdir, "--out", out])
+    assert rc == 0
+    rc = cli.main(["render", scn, "--width", "16", "--height", "12",
+                   "--spp", "4", "--mode", "cpu", "--checkpoint", ckdir,
+                   "--resume", "--out", out])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--rng threefry" in err

@@ -212,6 +212,16 @@ class TestMix32Contract:
         a, b = u[0], u[1]
         assert abs(np.corrcoef(a, b)[0, 1]) < 0.02
 
+    def test_wide_bit_draws_fail_loudly(self):
+        """bit_width > 32 (x64 mode) must raise, not silently return a
+        degenerate stream from an undefined out-of-range u32 shift
+        (ADVICE r4)."""
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="32-bit"):
+            rng._mix32_random_bits(
+                jax.random.key_data(rng.make_key(0)), 64, (4,))
+
     def test_distinct_sites_distinct_draws(self):
         k = rng.make_key(0)
         a = rng.site_uniforms(k, 0, 0, rng.DIFF_UV, 2, 32)

@@ -25,14 +25,20 @@ import time
 import numpy as np
 
 
-def _load(scene_path: str | None):
+def _load(scene_path: str | None, camera_scale: float = 1.0):
     from gpu_bidirectional_raytracer_tpu.scene import builtin
-    from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
+    from gpu_bidirectional_raytracer_tpu.scene.parser import (load_scene,
+                                                              scale_world)
 
     if scene_path:
-        return load_scene(scene_path)
-    return (builtin.DEFAULT_CAMERA_ORIG, builtin.DEFAULT_CAMERA_TARGET,
-            builtin.cornell_box())
+        orig, target, scene = load_scene(scene_path)
+    else:
+        orig, target, scene = (builtin.DEFAULT_CAMERA_ORIG,
+                               builtin.DEFAULT_CAMERA_TARGET,
+                               builtin.cornell_box())
+    if camera_scale != 1.0:
+        orig, target, scene = scale_world(orig, target, scene, camera_scale)
+    return orig, target, scene
 
 
 def _config(mode: str):
@@ -65,7 +71,7 @@ def cmd_render(args) -> int:
     from gpu_bidirectional_raytracer_tpu.render.progressive import Renderer
     from gpu_bidirectional_raytracer_tpu.utils import checkpoint as ckpt
 
-    orig, target, scene = _load(args.scene)
+    orig, target, scene = _load(args.scene, args.camera_scale)
     rng_impl = "rbg" if args.fast_rng else args.rng
     r = Renderer(scene, orig, target, args.width, args.height,
                  cfg=_config(args.mode), seed=args.seed,
@@ -161,7 +167,7 @@ def cmd_view(args) -> int:
     from gpu_bidirectional_raytracer_tpu.render.progressive import Renderer
     from gpu_bidirectional_raytracer_tpu.render.viewer import run_viewer
 
-    orig, target, scene = _load(args.scene)
+    orig, target, scene = _load(args.scene, args.camera_scale)
     r = Renderer(scene, orig, target, args.width, args.height,
                  cfg=_config(args.mode), seed=args.seed,
                  backend=args.backend)
@@ -249,6 +255,13 @@ def main(argv=None) -> int:
     p.add_argument("--tile-rows", type=int, default=None,
                    help="trace in horizontal bands of N rows (bounds "
                         "memory for huge frames / many-sphere scenes)")
+    p.add_argument("--camera-scale", type=float, default=1.0,
+                   help="uniformly scale world geometry (camera, sphere "
+                        "positions, radii) before rendering. Escape hatch "
+                        "for normalized-coordinate scenes like "
+                        "hall_of_mirrors.scn, which are black under the "
+                        "reference camera's ~10-unit ray-origin "
+                        "displacement (device.cu:596-597); try 100")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("view", help="interactive terminal viewer "
@@ -259,6 +272,8 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=("gpu", "cpu"), default="gpu")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", choices=("auto", "xla", "pallas"), default="auto")
+    p.add_argument("--camera-scale", type=float, default=1.0,
+                   help="uniformly scale world geometry (see render)")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("optimize", help="inverse rendering against a target")

@@ -127,6 +127,30 @@ def load_scene(path: Union[str, os.PathLike],
     return parse_scene(text)
 
 
+def scale_world(orig, target, scene: Scene, factor: float):
+    """Uniformly scale world geometry: camera orig/target, sphere
+    positions, and radii (emission/albedo are per-area quantities the
+    direct-light estimator keeps scale-invariant via its r^2/len^2
+    ratio, ``device.cu:500``).
+
+    The opt-in escape hatch for normalized-coordinate scenes
+    (``assets/scenes/hall_of_mirrors.scn``, ~0.1-unit world): the
+    reference's projective camera displaces each ray origin by the
+    UNNORMALIZED film direction (~10 units, ``device.cu:596-597``),
+    which starts every ray beyond such a scene — black frames are that
+    camera's spec-correct output. Scaling the world up (e.g. 100x)
+    renders the scene without touching the camera model, so spec stays
+    preserved when the flag is off.
+    """
+    import jax.numpy as jnp
+
+    f = float(factor)
+    o = np.asarray(orig, dtype=np.float32) * f
+    t = np.asarray(target, dtype=np.float32) * f
+    return o, t, scene.replace(rad=scene.rad * jnp.float32(f),
+                               p=scene.p * jnp.float32(f))
+
+
 def write_scene(orig, target, scene: Scene, path_or_file) -> None:
     """Serialize back to ``.scn`` (round-trips through :func:`parse_scene`)."""
     own = isinstance(path_or_file, (str, os.PathLike))

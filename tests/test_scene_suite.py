@@ -35,6 +35,43 @@ def test_scene_renders_finite(path):
         assert img.max() > 0.0, "emissive scene rendered black"
 
 
+def test_hall_of_mirrors_live_under_camera_scale():
+    """hall_of_mirrors.scn promoted to a LIVE fixture (VERDICT r4 #9):
+    under the opt-in world scale (cli --camera-scale) its normalized
+    ~0.1-unit coordinates clear the reference camera's ~10-unit ray
+    origin displacement and the scene must render non-black with real
+    integrator output (mirror room: most pixels lit). Scale 1 stays
+    spec-correct black (asserted above)."""
+    from gpu_bidirectional_raytracer_tpu.scene.parser import scale_world
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "scenes", "hall_of_mirrors.scn")
+    orig, target, scene = load_scene(path)
+    o, t, s = scale_world(orig, target, scene, 100.0)
+    r = Renderer(s, o, t, 32, 24, cfg=IntegratorConfig.gpu())
+    img = np.asarray(r.render(4))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.5, "scaled hall_of_mirrors rendered black"
+    assert (img > 0).mean() > 0.4, "too few lit pixels"
+
+
+def test_camera_scale_cli_flag(tmp_path):
+    """The render CLI exposes --camera-scale and produces a non-black
+    frame for hall_of_mirrors at scale 100."""
+    from gpu_bidirectional_raytracer_tpu import cli
+    from gpu_bidirectional_raytracer_tpu.render import film
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "scenes", "hall_of_mirrors.scn")
+    out = str(tmp_path / "hall.ppm")
+    rc = cli.main(["render", path, "--width", "24", "--height", "18",
+                   "--spp", "2", "--mode", "gpu", "--camera-scale", "100",
+                   "--out", out])
+    assert rc == 0
+    img = film.read_ppm(out)
+    assert img.max() > 0
+
+
 def test_progressive_convergence():
     """The running mean must stabilize as samples accumulate (Cauchy)."""
     path = os.path.join(os.path.dirname(__file__), "..", "assets",

@@ -51,20 +51,33 @@ from gpu_bidirectional_raytracer_tpu.integrators.sampling import (
 
 def emit_light_rays(scene: Scene, cfg: IntegratorConfig,
                     light_idx: tuple[int, ...], key: Array,
-                    sample: Array) -> tuple[Rays, Array, Array]:
+                    sample: Array, lane_offset=None,
+                    lane_count: int | None = None,
+                    lane_total: int | None = None
+                    ) -> tuple[Rays, Array, Array]:
     """Sample ``light_points`` emission rays (``GetRayKernel`` intent).
 
     Returns (rays, lane_light_id [N], lane_emission [N,3]). Lanes are
     round-robined across the static light set.
+
+    ``lane_offset``/``lane_count``/``lane_total``: emit only lanes
+    ``[lane_offset, lane_offset + lane_count)`` of a ``lane_total``-lane
+    global pass — the same tape-window contract as `rng.site_uniforms`,
+    so a mesh shard's lanes are bitwise-equal to its slice of the
+    monolithic pass (`parallel.mesh.light_splat_sharded`).
     """
-    n = cfg.light_points
+    total = cfg.light_points if lane_total is None else lane_total
+    n = total if lane_count is None else lane_count
+    off = 0 if lane_offset is None else lane_offset
     li = jnp.asarray(light_idx, dtype=jnp.int32)
-    lane_light = li[jnp.arange(n) % len(light_idx)]          # [N]
+    gid = jnp.arange(n) + jnp.asarray(off, jnp.int32)        # global lane ids
+    lane_light = li[gid % len(light_idx)]                    # [N]
     lp = scene.p[lane_light]
     lrad = scene.rad[lane_light]
     le = scene.e[lane_light]
 
-    u = rng.site_uniforms(key, sample, 0, rng.LIGHT_RAY_UV, 4, n)
+    u = rng.site_uniforms(key, sample, 0, rng.LIGHT_RAY_UV, 4, n,
+                          lane_offset=lane_offset, lane_total=lane_total)
     usp = uniform_sphere(u[0], u[1])                         # outward normal
     origin = lp + lrad[:, None] * usp
     direction = cosine_hemisphere(usp, u[2], u[3])
@@ -73,10 +86,21 @@ def emit_light_rays(scene: Scene, cfg: IntegratorConfig,
 
 def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
                       light_idx: tuple[int, ...], key: Array,
-                      sample: Array) -> VplBuffer:
-    """Walk light subpaths and fill a fresh :class:`VplBuffer`."""
-    rays, lane_light, le = emit_light_rays(scene, cfg, light_idx, key, sample)
-    n = cfg.light_points
+                      sample: Array, lane_offset=None,
+                      lane_count: int | None = None,
+                      lane_total: int | None = None) -> VplBuffer:
+    """Walk light subpaths and fill a fresh :class:`VplBuffer`.
+
+    With ``lane_offset``/``lane_count``/``lane_total`` set, walks only
+    that window of the global pass's lanes on their global tape columns
+    (see `emit_light_rays`) — the buffer equals the corresponding lane
+    slice of the monolithic buffer bitwise.
+    """
+    rays, lane_light, le = emit_light_rays(scene, cfg, light_idx, key,
+                                           sample, lane_offset=lane_offset,
+                                           lane_count=lane_count,
+                                           lane_total=lane_total)
+    n = cfg.light_points if lane_count is None else lane_count
     lane_lp = scene.p[lane_light]
     lane_lrad = scene.rad[lane_light]
 
@@ -139,7 +163,9 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
 
         # Continue the walk (only matters when vpl_depth > 1).
         alive = alive & hit & jnp.logical_not(is_emitter)
-        u = rng.site_uniforms(key, sample, depth, rng.LIGHT_SCATTER, 3, n)
+        u = rng.site_uniforms(key, sample, depth, rng.LIGHT_SCATTER, 3, n,
+                              lane_offset=lane_offset,
+                              lane_total=lane_total)
         sc = bsdf.scatter(obj_refl, obj_c, d, normal, nl, u[0], u[1], u[2])
         live = alive[:, None]
         o = jnp.where(live, hp, o)
@@ -154,7 +180,7 @@ def trace_light_paths(scene: Scene, cfg: IntegratorConfig,
 
 def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
                   vpls: VplBuffer, width: int, height: int,
-                  light_idx: tuple[int, ...] = ()
+                  light_idx: tuple[int, ...] = (), lane_offset=None
                   ) -> tuple[Array, Array]:
     """Light-trace-to-film splatting: the living counterpart of
     ``RadianceLightTracing``'s eye connection + ``SamplePixels``
@@ -236,9 +262,14 @@ def splat_to_film(scene: Scene, cam, cfg: IntegratorConfig,
     nl_flat = vpls.nl.reshape(-1, 3)
     valid = vpls.valid.reshape(-1)
     n_lanes = vpls.hp.shape[1]
+    # Global lane ids under lane-windowed (sharded) tracing: the
+    # round-robin light assignment follows the GLOBAL lane index so a
+    # shard's weights match the monolithic pass (emit_light_rays).
+    off = 0 if lane_offset is None else jnp.asarray(lane_offset, jnp.int32)
     if light_idx:
         li = jnp.asarray(light_idx, dtype=jnp.int32)
-        lane_lrad = scene.rad[li[jnp.arange(n_lanes) % len(light_idx)]]
+        lane_lrad = scene.rad[li[(jnp.arange(n_lanes) + off)
+                                 % len(light_idx)]]
     else:
         lane_lrad = jnp.ones((n_lanes,), jnp.float32)
     lrad = jnp.tile(lane_lrad, vpls.hp.shape[0])             # [K]

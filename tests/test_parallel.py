@@ -181,6 +181,84 @@ class TestPallasUnderSharding:
                                        interpret=True)
 
 
+class TestShardedLightSplat:
+    """The light-tracing splat integrator under sharding (VERDICT r4 #5):
+    lanes sharded, partial films psum'd."""
+
+    def test_lane_windowed_trace_matches_slice_bitwise(self):
+        """A lane window of `trace_light_paths` equals the corresponding
+        slice of the monolithic VplBuffer BITWISE (the tape-window
+        contract extended to the light walk)."""
+        from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+
+        scene = builtin.cornell_box()
+        cfg = IntegratorConfig()
+        li = static_light_indices(scene)
+        key = jax.random.key(7)
+        sample = jnp.int32(2)
+        full = light_tracer.trace_light_paths(scene, cfg, li, key, sample)
+        n = cfg.light_points
+        off, cnt = n // 4, n // 8
+        win = light_tracer.trace_light_paths(
+            scene, cfg, li, key, sample,
+            lane_offset=off, lane_count=cnt, lane_total=n)
+        for f in ("hp", "rad", "nl", "valid", "sid"):
+            a = np.asarray(getattr(full, f))[:, off:off + cnt]
+            b = np.asarray(getattr(win, f))
+            np.testing.assert_array_equal(b, a, err_msg=f)
+
+    def test_sharded_splat_matches_single_device(self, eight_devices):
+        """light_splat_sharded == monolithic splat_to_film: splat COUNTS
+        exactly (integer film), colors to summation-order tolerance."""
+        from gpu_bidirectional_raytracer_tpu.core.types import Camera
+        from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+
+        scene = builtin.cornell_box()
+        w, h = 24, 16
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        cfg = IntegratorConfig()
+        li = static_light_indices(scene)
+        key = jax.random.key(11)
+        sample = jnp.int32(0)
+
+        vpls = light_tracer.trace_light_paths(scene, cfg, li, key, sample)
+        ref_c, ref_n = light_tracer.splat_to_film(scene, cam, cfg, vpls,
+                                                  w, h, li)
+        m = pmesh.make_mesh(eight_devices)
+        c8, n8 = pmesh.light_splat_sharded(scene, cam, cfg, li, key,
+                                           sample, w, h, m)
+        np.testing.assert_array_equal(np.asarray(n8), np.asarray(ref_n))
+        scale = max(float(np.abs(np.asarray(ref_c)).max()), 1e-12)
+        np.testing.assert_allclose(np.asarray(c8), np.asarray(ref_c),
+                                   rtol=1e-5, atol=1e-6 * scale)
+
+    def test_sharded_splat_rejects_indivisible(self, eight_devices):
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.core.types import Camera
+        from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+            static_light_indices,
+        )
+
+        scene = builtin.cornell_box()
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, 16, 16)
+        cfg = dataclasses.replace(IntegratorConfig(), light_points=1001)
+        m = pmesh.make_mesh(eight_devices)
+        with pytest.raises(ValueError, match="not divisible"):
+            pmesh.light_splat_sharded(scene, cam, cfg,
+                                      static_light_indices(scene),
+                                      jax.random.key(0), jnp.int32(0),
+                                      16, 16, m)
+
+
 class TestShardedTrainingStep:
     """The REAL training step under sharding (VERDICT r2 #3): the pallas
     custom_vjp adjoint + GSPMD-free shard_map + lane-windowed tapes —

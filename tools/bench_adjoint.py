@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Backward-pass census of the flagship fwd+bwd training step
+(VERDICT r4 #3: "nobody can currently say whether 1.881 ms is at
+roofline or 30% off").
+
+Decomposes the pallas-adjoint training step (`diff.gradients.
+render_loss_grad(backend='pallas')`, cornell 512x512, bidirectional
+config — the BENCH headline leg) into device-side stages, each timed as
+chained work INSIDE one jit with differenced trip counts so the tunnel
+dispatch RTT cancels (CLAUDE.md timing rules):
+
+- ``step``        — the full loss+grad step (the headline number);
+- ``fwd_value``   — forward only (tape + VPL trace + fwd kernel + loss);
+- ``tape``        — the mix32 render tape for one pass, alone;
+- ``vpl_trace``   — the light-subpath walk, alone;
+- ``grad_plumbing`` — everything outside the two pallas kernels is
+  derived: bwd_total = step - fwd_value (bwd kernel + dtab/dvpl
+  reductions + scene-table transpose).
+
+Plus the TAPE-MULTIPLICITY probe: the same stages re-timed under the
+threefry tape. If the step embeds the tape k times, then
+``(step_threefry - step_mix32) / (tape_threefry - tape_mix32) ~= k``.
+Round-4 STATUS claimed k=2 from indirect evidence; this measures it.
+
+Writes artifacts/ADJOINT_CENSUS.json. Run on the real chip:
+    timeout 900 python -u tools/bench_adjoint.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def delta_time(loop, key, n_short, n_long, reps=3):
+    """(t(long)-t(short))/(long-short) with fresh keys per rep.
+
+    Trip counts must make the long leg's DEVICE time clearly exceed the
+    ~35-50 ms dispatch variance of the tunnel (measured this round:
+    (2, 66) at the step scale repeats to <1%; (4, 36) did not — the
+    first cut of this tool under-read the step by ~2x). Uses the MEDIAN
+    of the positive per-rep deltas: min-of-reps biases low when the
+    short leg lands on a slow dispatch."""
+    jax.block_until_ready(loop(key, jnp.int32(2)))
+    deltas = []
+    for r in range(reps * 3):          # tunnel can wedge for stretches;
+        if len(deltas) >= reps:        # collect `reps` positive deltas
+            break
+        k = jax.random.fold_in(key, jnp.uint32(0xC0 + r))
+        ts = []
+        for n in (n_short, n_long):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(k, jnp.int32(n)))
+            ts.append(time.perf_counter() - t0)
+        d = (ts[1] - ts[0]) / (n_long - n_short)
+        if d > 0.0:
+            deltas.append(d)
+        else:
+            time.sleep(2.0)
+    if not deltas:
+        raise RuntimeError("all reps nonpositive (tunnel noise)")
+    deltas.sort()
+    return deltas[len(deltas) // 2]
+
+
+def main():
+    width = height = 512
+    from gpu_bidirectional_raytracer_tpu import rng as rng_mod
+    from gpu_bidirectional_raytracer_tpu.core.types import (
+        Camera,
+        IntegratorConfig,
+    )
+    from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+    from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
+    from gpu_bidirectional_raytracer_tpu.integrators.direct import (
+        static_light_indices,
+    )
+    from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
+        _build_tape,
+        _tape_rows,
+    )
+    from gpu_bidirectional_raytracer_tpu.scene.parser import load_scene
+
+    orig, target, scene = load_scene(
+        os.path.join(REPO, "assets", "scenes", "cornell.scn"))
+    cfg = IntegratorConfig()
+    cam = Camera.make(orig, target, width, height)
+    li = static_light_indices(scene)
+    L = max(len(li), 1)
+    n = width * height
+    tgt = jnp.zeros((height, width, 3), jnp.float32)
+
+    def loops_for(key):
+        """Stage loops bound to one PRNG key impl."""
+
+        @jax.jit
+        def step(key, m):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                loss, g = G.render_loss_grad(scene, cam, k, tgt, cfg,
+                                             width, height, li, 1,
+                                             backend="pallas")
+                return acc + loss + jnp.sum(g.p)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+        @jax.jit
+        def fwd_value(key, m):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                img = G.render_radiance(scene, cam, k, cfg, width, height,
+                                        li, 1, "pallas")
+                return acc + jnp.mean((img - tgt) ** 2)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+        @jax.jit
+        def tape(key, m):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                t = _build_tape(cfg, L, k, jnp.int32(0), n, None, None)
+                # Full reduction: counter RNG is elementwise, so anything
+                # less lets XLA generate only the consumed elements.
+                return acc + t.sum()
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+        @jax.jit
+        def vpl_trace(key, m):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                v = light_tracer.trace_light_paths(scene, cfg, li, k,
+                                                   jnp.int32(0))
+                return acc + v.rad.sum()
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+        return dict(step=(step, 2, 66), fwd_value=(fwd_value, 2, 66),
+                    tape=(tape, 8, 520), vpl_trace=(vpl_trace, 8, 2056))
+
+    out = {"resolution": f"{width}x{height}",
+           "device": str(jax.devices()[0].device_kind),
+           "config": "bidirectional (IntegratorConfig())",
+           "stages_ms": {}, "tape_probe": {}}
+
+    results = {}
+    for impl in ("mix32", "threefry"):
+        key = rng_mod.make_key(0, impl=impl)
+        res = {}
+        for name, (loop, s, l) in loops_for(key).items():
+            t = delta_time(loop, key, s, l)
+            res[name] = t
+            print(f"[{impl}] {name:12s} {t * 1e3:8.3f} ms", flush=True)
+        results[impl] = res
+
+    mx = results["mix32"]
+    out["stages_ms"] = {k: round(v * 1e3, 3) for k, v in mx.items()}
+    out["stages_ms"]["bwd_total_derived"] = round(
+        (mx["step"] - mx["fwd_value"]) * 1e3, 3)
+    out["stages_ms"]["fwd_kernel_derived"] = round(
+        (mx["fwd_value"] - mx["tape"] - mx["vpl_trace"]) * 1e3, 3)
+
+    tf = results["threefry"]
+    dtape = tf["tape"] - mx["tape"]
+    out["tape_probe"] = {
+        "tape_ms_mix32": round(mx["tape"] * 1e3, 3),
+        "tape_ms_threefry": round(tf["tape"] * 1e3, 3),
+        "step_ms_threefry": round(tf["step"] * 1e3, 3),
+        "fwd_value_ms_threefry": round(tf["fwd_value"] * 1e3, 3),
+        "tapes_in_step": (round((tf["step"] - mx["step"]) / dtape, 2)
+                          if dtape > 1e-5 else None),
+        "tapes_in_fwd": (round((tf["fwd_value"] - mx["fwd_value"]) / dtape,
+                               2) if dtape > 1e-5 else None),
+    }
+
+    os.makedirs(os.path.join(REPO, "artifacts"), exist_ok=True)
+    path = os.path.join(REPO, "artifacts", "ADJOINT_CENSUS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -394,7 +394,10 @@ def render_radiance_lanes(scene: Scene, cam: Camera, key: Array,
                                     jnp.int32(s), vpls=vpls,
                                     vlp_index=vlp_index,
                                     lane_offset=lane_offset,
-                                    lane_total=lane_total)
+                                    lane_total=lane_total,
+                                    frame_dims=(None if lane_offset
+                                                is not None
+                                                else (width, height)))
         else:
             rad = path_tracer.trace(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
@@ -448,6 +451,17 @@ def render_loss_grad(scene: Scene, cam: Camera, key: Array, target: Array,
     - ``'l2'``, ``'log'``: single-render losses (exact on fixed tapes,
       variance-biased under resampling).
     """
+    # Fused single-kernel training step (VERDICT r4 #3): when the config
+    # allows it, the l2 pallas step runs loss+grads in ONE kernel — the
+    # adjoint's own forward sweep supplies the radiance, so the separate
+    # forward pallas call (0.634 ms of the 2.163 ms step, artifacts/
+    # ADJOINT_CENSUS.json) disappears. Estimator/gradients identical to
+    # the unfused path (tests/test_pallas_grad.py::TestFusedStep).
+    if (loss == "l2" and backend == "pallas" and spp == 1
+            and cfg.sil_grad_tau == 0.0 and scene.num_spheres <= 64):
+        return _render_loss_grad_fused(scene, cam, key, target, cfg,
+                                       width, height, light_idx)
+
     if loss == "l2_unbiased":
         key_b = jax.random.fold_in(key, jnp.uint32(0x5EED))
 
@@ -470,6 +484,52 @@ def render_loss_grad(scene: Scene, cam: Camera, key: Array, target: Array,
     # allow_int: the Scene pytree carries the discrete material codes
     # (int32 refl); their "gradient" is float0 and is never used.
     return jax.value_and_grad(loss_fn, allow_int=True)(scene)
+
+
+def _render_loss_grad_fused(scene: Scene, cam: Camera, key: Array,
+                            target: Array, cfg: IntegratorConfig,
+                            width: int, height: int,
+                            light_idx: tuple[int, ...]):
+    """The fused l2 pallas training step (see router in
+    `render_loss_grad`): one kernel for loss + direct gradients
+    (`ops.pallas_grad.trace_pallas_loss_grad`), with the VPL-buffer
+    cotangent pulled through `trace_light_paths` so the light-subpath
+    chain (emission, light geometry, albedo throughput) contributes
+    exactly as in the autodiff path."""
+    from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
+    from gpu_bidirectional_raytracer_tpu.ops.pallas_grad import (
+        trace_pallas_loss_grad,
+    )
+
+    n = width * height
+    s = jnp.int32(0)
+    jit_uv = rng.site_uniforms(key, s, 0, rng.CAM_JITTER, 2, n)
+    px, py = cam_mod.pixel_grid(width, height)
+    rays = cam_mod.primary_rays(cam, width, height, jit_uv[0], jit_uv[1],
+                                px, py)
+    tgt = target.reshape(n, 3)
+
+    if cfg.use_vpl and light_idx:
+        vpls = light_tracer.trace_light_paths(scene, cfg, light_idx,
+                                              key, s)
+
+        def lt_float(p, rad, e, c):
+            sc = scene.replace(p=p, rad=rad, e=e, c=c)
+            v = light_tracer.trace_light_paths(sc, cfg, light_idx, key, s)
+            return v.hp, v.rad, v.nl
+
+        _, pull_lt = jax.vjp(lt_float, scene.p, scene.rad, scene.e,
+                             scene.c)
+        loss, g, dvpl = trace_pallas_loss_grad(
+            scene, cfg, light_idx, rays, key, s, tgt,
+            vpls=vpls, vlp_index=jnp.int32(0))
+        dp2, drad2, de2, dc2 = pull_lt(dvpl)
+        g = g.replace(p=g.p + dp2, rad=g.rad + drad2,
+                      e=g.e + de2, c=g.c + dc2)
+    else:
+        loss, g, _ = trace_pallas_loss_grad(
+            scene, cfg, light_idx, rays, key, s, tgt)
+    return loss, g
 
 
 def pixel_grad_fd(scene: Scene, render_fn: Callable[[Scene], Array],
@@ -515,6 +575,21 @@ class InverseRenderer:
                              # on a fixed tape (see render_loss_grad)
     backend: str = "auto"  # 'auto' = hand-written pallas adjoint on TPU
                            # (2.9x the XLA remat step), XLA elsewhere
+    # -- carrier-tau annealing (VERDICT r4 #6). The straight-through
+    # carriers' bias floor scales with their sigmoid band width, so a
+    # fit descends to ~tau-proportional parameter error and then drifts
+    # (STATUS r4 limit #2). Annealing shrinks sil/vis tau by
+    # `tau_anneal` (final/initial ratio) over `anneal_steps` steps in
+    # `anneal_stages` DISCRETE stages — each stage is one recompile, a
+    # continuous schedule would recompile every step.
+    tau_anneal: float = 1.0     # 1.0 = off
+    anneal_steps: int = 0
+    anneal_stages: int = 4
+    # -- plateau early stopping: after `patience` consecutive steps with
+    # < `min_improve` relative improvement on the best loss, stop (the
+    # bias-floor drift regime). `best_scene` keeps the best-loss params.
+    patience: int = 0           # 0 = off
+    min_improve: float = 1e-3
     _opt_state: object = None
     _step: int = 0
 
@@ -530,13 +605,34 @@ class InverseRenderer:
         self._tx = optax.adam(self.lr)
         params = {k: getattr(self.scene, k) for k in self.optimize}
         self._opt_state = self._tx.init(params)
+        self.best_loss = float("inf")
+        self.best_scene = self.scene
+        self._stall = 0
+
+    def _step_cfg(self) -> IntegratorConfig:
+        """This step's config under the (staged) tau-annealing schedule."""
+        if self.tau_anneal == 1.0 or self.anneal_steps <= 0:
+            return self.cfg
+        frac = min(self._step / self.anneal_steps, 1.0)
+        stages = max(self.anneal_stages - 1, 1)
+        q = round(frac * stages) / stages
+        scale = self.tau_anneal ** q
+        return dataclasses.replace(
+            self.cfg,
+            sil_grad_tau=self.cfg.sil_grad_tau * scale,
+            vis_grad_tau=self.cfg.vis_grad_tau * scale)
+
+    @property
+    def should_stop(self) -> bool:
+        """Plateau detector (see `patience`)."""
+        return self.patience > 0 and self._stall >= self.patience
 
     def step(self) -> float:
         key = jax.random.key(self.seed)
         if self.resample:
             key = jax.random.fold_in(key, self._step)
         loss, grads = render_loss_grad(
-            self.scene, self.cam, key, self.target, self.cfg,
+            self.scene, self.cam, key, self.target, self._step_cfg(),
             self.width, self.height, self.light_idx, self.spp, self.loss,
             self.backend)
         import optax
@@ -559,6 +655,15 @@ class InverseRenderer:
             params["c"] = jnp.clip(params["c"], 0.0, 1.0)
         if "e" in params:
             params["e"] = jnp.maximum(params["e"], 0.0)
+        prev_scene = self.scene          # the scene `loss` was measured at
         self.scene = self.scene.replace(**params)
         self._step += 1
-        return float(loss)
+        lf = float(loss)
+        if lf < self.best_loss * (1.0 - self.min_improve):
+            self.best_loss = lf
+            self.best_scene = prev_scene
+            self._stall = 0
+        else:
+            self.best_loss = min(self.best_loss, lf)
+            self._stall += 1
+        return lf

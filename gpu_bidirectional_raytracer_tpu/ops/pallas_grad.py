@@ -158,12 +158,28 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 gr_ref, gg_ref, gb_ref,
                 dtab_ref, dvpl_ref,
                 dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
-                *, cfg: IntegratorConfig, light_idx: tuple[int, ...],
-                n_spheres: int, n_vpl: int, use_vpl: bool):
+                *extra_refs, cfg: IntegratorConfig,
+                light_idx: tuple[int, ...],
+                n_spheres: int, n_vpl: int, use_vpl: bool,
+                fused_loss: bool = False, inv3n: float = 0.0):
     """One tile: forward recompute (saving per-depth state) + reverse sweep.
 
     Mirrors `pallas_trace._kernel` (non-camera mode) op for op; see module
     docstring for the gradient policy.
+
+    ``fused_loss=True`` (the fused l2 TRAINING-STEP kernel, VERDICT r4
+    #3): ``gr/gg/gb_ref`` carry the TARGET image planes instead of
+    cotangents, ``extra_refs = (vm_ref, dloss_ref)`` add a lane-validity
+    input plane (padded lanes trace garbage and must not reach the loss)
+    and a per-tile ``[1, 16]`` loss-partial output. The forward sweep
+    then ALSO accumulates radiance (emitter hits + NEE/VPL gather values
+    — the only additions over the plain state recompute), the l2
+    cotangent ``g = 2 (rad - target) / (3 n)`` is formed in-kernel, and
+    the reverse sweep runs unchanged. This removes the separate forward
+    kernel from the training step: the adjoint-census lever
+    (artifacts/ADJOINT_CENSUS.json: fwd kernel 0.634 ms of the 2.163 ms
+    step was pure recompute of what this kernel's forward sweep already
+    does).
     """
     f32 = jnp.float32
     L = max(len(light_idx), 1)
@@ -237,11 +253,106 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     shape = ox.shape
 
+    def ld_values(depth, hx, hy, hz, nlx, nly, nlz):
+        """VALUE-only NEE + VPL gather at this depth's hit points — the
+        radiance the fused forward sweep needs. Op-for-op the same
+        arithmetic as the reverse sweep's recompute below (identical
+        floats), minus every adjoint-only piece (res lists, soft
+        carriers — those are zero-primal).
+
+        Also returns the per-light / per-VPL OCCLUSION masks: they are
+        detached discrete facts, so the reverse sweep reuses them
+        instead of re-running its own O(S) shadow scans — in fused mode
+        those scans were nearly all of the reverse sweep's sphere work
+        (the eye hit is adjointed from the saved winner, one root)."""
+        occ_l = []
+        occ_v = []
+        ld_r = jnp.zeros(shape, f32)
+        ld_g = jnp.zeros(shape, f32)
+        ld_b = jnp.zeros(shape, f32)
+        for li, lig in enumerate(light_idx):
+            u1 = tape_ref[depth * per_depth + li]
+            u2 = tape_ref[depth * per_depth + L + li]
+            lrad = sph(lig, 0)
+            lpx, lpy, lpz = sph(lig, 1), sph(lig, 2), sph(lig, 3)
+            zz = 1.0 - 2.0 * u1
+            rr_ = _safe_sqrt(1.0 - zz * zz)
+            phi = 2.0 * jnp.pi * u2
+            uxs, uys, uzs = rr_ * jnp.cos(phi), rr_ * jnp.sin(phi), zz
+            spx = lpx + lrad * uxs
+            spy = lpy + lrad * uys
+            spz = lpz + lrad * uzs
+            rwx, rwy, rwz = spx - hx, spy - hy, spz - hz
+            q = _dot3(rwx, rwy, rwz, rwx, rwy, rwz) + 1e-30
+            slen = jnp.sqrt(q)
+            inv = 1.0 / slen
+            sdx, sdy, sdz = rwx * inv, rwy * inv, rwz * inv
+            wo = -_dot3(sdx, sdy, sdz, uxs, uys, uzs)
+            wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
+            occ = jnp.zeros(shape, bool)
+            maxt = slen - EPSILON
+            for s in range(n_spheres):
+                ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
+                                      sph(s, 0), hx, hy, hz,
+                                      sdx, sdy, sdz)
+                occ = occ | ((ts > 0.0) & (ts < maxt))
+            occ_l.append(_f32m(occ))
+            ok_m = _f32m((wo >= 0.0) & (wi > 0.0) & jnp.logical_not(occ))
+            inv2 = inv * inv
+            core = (4.0 * jnp.pi) * (lrad * lrad) * wi * wo * inv2
+            scale = ok_m * f32(cfg.light_gain) * core
+            ld_r = ld_r + sph(lig, 4) * scale
+            ld_g = ld_g + sph(lig, 5) * scale
+            ld_b = ld_b + sph(lig, 6) * scale
+        if use_vpl and n_vpl > 0:
+            v_r = jnp.zeros(shape, f32)
+            v_g = jnp.zeros(shape, f32)
+            v_b = jnp.zeros(shape, f32)
+            for v in range(n_vpl):
+                vhx, vhy, vhz = vpl_ref[v, 0], vpl_ref[v, 1], vpl_ref[v, 2]
+                vrx, vry, vrz = vpl_ref[v, 3], vpl_ref[v, 4], vpl_ref[v, 5]
+                vnx, vny, vnz = vpl_ref[v, 6], vpl_ref[v, 7], vpl_ref[v, 8]
+                vvalid = vpl_ref[v, 9] > 0.5
+                rwx, rwy, rwz = vhx - hx, vhy - hy, vhz - hz
+                q = _dot3(rwx, rwy, rwz, rwx, rwy, rwz) + 1e-30
+                slen = jnp.sqrt(q)
+                inv = 1.0 / slen
+                sdx, sdy, sdz = rwx * inv, rwy * inv, rwz * inv
+                wo = -_dot3(sdx, sdy, sdz, vnx, vny, vnz)
+                wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
+                occ = jnp.zeros(shape, bool)
+                maxt = slen - EPSILON
+                for s in range(n_spheres):
+                    ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
+                                          sph(s, 0), hx, hy, hz,
+                                          sdx, sdy, sdz)
+                    blocked = (ts > 0.0) & (ts < maxt)
+                    nonlite = (sph(s, 4) == 0.0) & (sph(s, 5) == 0.0) & (
+                        sph(s, 6) == 0.0)
+                    occ = occ | (blocked & nonlite)
+                occ_v.append(_f32m(occ))
+                ok_m = _f32m((wo >= 0.0) & (wi > 0.0)
+                             & jnp.logical_not(occ) & vvalid)
+                w = ok_m * wi * wo
+                v_r = v_r + vrx * w
+                v_g = v_g + vry * w
+                v_b = v_b + vrz * w
+            inv_k = f32(1.0 / n_vpl)
+            ld_r = ld_r + v_r * inv_k
+            ld_g = ld_g + v_g * inv_k
+            ld_b = ld_b + v_b * inv_k
+            if cfg.combine_half:
+                ld_r, ld_g, ld_b = ld_r * 0.5, ld_g * 0.5, ld_b * 0.5
+        return ld_r, ld_g, ld_b, occ_l, occ_v
+
     tp_r = jnp.ones(shape, f32)
     tp_g = jnp.ones(shape, f32)
     tp_b = jnp.ones(shape, f32)
     spec_m = jnp.ones(shape, f32)
     alive_m = jnp.ones(shape, f32)
+    rad_r = jnp.zeros(shape, f32)
+    rad_g = jnp.zeros(shape, f32)
+    rad_b = jnp.zeros(shape, f32)
 
     # ---------------- forward sweep: save per-depth entry state ----------
     saved = []
@@ -293,6 +404,26 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         alive1 = alive_m * hit_m
         alive2 = alive1 * (1.0 - emit_m)
         diff_m = _f32m(orefl == f32(DIFF))
+
+        if fused_loss:
+            # Radiance accumulation (fused training step): the emitter
+            # term + the NEE/VPL gather value at diffuse vertices —
+            # the same estimator terms the reverse sweep adjoints
+            # (_bounce_step semantics, device.cu:651-703).
+            esc_f = f32(cfg.emission_scale)
+            add_f = alive1 * emit_m * spec_m
+            gain_f = esc_f * jnp.abs(dp)
+            rad_r = rad_r + add_f * gain_f * oex * tp_r
+            rad_g = rad_g + add_f * gain_f * oey * tp_g
+            rad_b = rad_b + add_f * gain_f * oez * tp_b
+            ld_r, ld_g, ld_b, occ_l, occ_v = ld_values(
+                depth, hx, hy, hz, nlx, nly, nlz)
+            saved[-1]["occ_l"] = occ_l
+            saved[-1]["occ_v"] = occ_v
+            use_f = alive2 * diff_m
+            rad_r = rad_r + use_f * tp_r * ocx * ld_r
+            rad_g = rad_g + use_f * tp_g * ocy * ld_g
+            rad_b = rad_b + use_f * tp_b * ocz * ld_b
 
         # scatter state update (values only; rad handled in reverse)
         du1 = tape_ref[depth * per_depth + 2 * L]
@@ -361,7 +492,21 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         alive_m = alive2
 
     # ---------------- reverse sweep -------------------------------------
-    gr, gg, gb = gr_ref[:], gg_ref[:], gb_ref[:]
+    if fused_loss:
+        # gr/gg/gb refs carry the TARGET; form the l2 cotangent here.
+        # vm masks padded lanes (they trace garbage rays).
+        vm_ref, dloss_ref = extra_refs
+        vm = vm_ref[:]
+        er = (rad_r - gr_ref[:]) * vm
+        eg = (rad_g - gg_ref[:]) * vm
+        eb = (rad_b - gb_ref[:]) * vm
+        part = jnp.sum(er * er + eg * eg + eb * eb)
+        cid16 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+        dloss_ref[...] = jnp.where(cid16 == 0, part, 0.0)
+        k2g = f32(2.0 * inv3n)
+        gr, gg, gb = er * k2g, eg * k2g, eb * k2g
+    else:
+        gr, gg, gb = gr_ref[:], gg_ref[:], gb_ref[:]
     bo_x = jnp.zeros(shape, f32); bo_y = jnp.zeros(shape, f32)
     bo_z = jnp.zeros(shape, f32)
     bd_x = jnp.zeros(shape, f32); bd_y = jnp.zeros(shape, f32)
@@ -558,13 +703,21 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             sdx, sdy, sdz = rwx * inv, rwy * inv, rwz * inv
             wo = -_dot3(sdx, sdy, sdz, uxs, uys, uzs)
             wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
-            occ = jnp.zeros(shape, bool)
             maxt = slen - EPSILON
             soft = jnp.ones(shape, f32)
+            if fused_loss:
+                # Occlusion is a DETACHED fact the fused forward sweep
+                # already computed — reuse it; only the (vis) soft
+                # product still needs its per-blocker pass.
+                occ = sv["occ_l"][li] > 0.5
+            else:
+                occ = jnp.zeros(shape, bool)
             for s in range(n_spheres):
-                ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
-                                      sph(s, 0), hx, hy, hz, sdx, sdy, sdz)
-                occ = occ | ((ts > 0.0) & (ts < maxt))
+                if not fused_loss:
+                    ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
+                                          sph(s, 0), hx, hy, hz,
+                                          sdx, sdy, sdz)
+                    occ = occ | ((ts > 0.0) & (ts < maxt))
                 # s == lig: the target light's chord entry IS the sample
                 # point — excluded from the soft product (see
                 # intersect.soft_visibility exclude_id).
@@ -599,17 +752,22 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 sdx, sdy, sdz = rwx * inv, rwy * inv, rwz * inv
                 wo = -_dot3(sdx, sdy, sdz, vnx, vny, vnz)
                 wi = _dot3(sdx, sdy, sdz, nlx, nly, nlz)
-                occ = jnp.zeros(shape, bool)
                 maxt = slen - EPSILON
                 soft = jnp.ones(shape, f32)
+                if fused_loss:
+                    # Saved detached fact (see NEE loop above).
+                    occ = sv["occ_v"][v] > 0.5
+                else:
+                    occ = jnp.zeros(shape, bool)
                 for s in range(n_spheres):
-                    ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2), sph(s, 3),
-                                          sph(s, 0), hx, hy, hz,
-                                          sdx, sdy, sdz)
-                    blocked = (ts > 0.0) & (ts < maxt)
                     nonlite = (sph(s, 4) == 0.0) & (sph(s, 5) == 0.0) & (
                         sph(s, 6) == 0.0)
-                    occ = occ | (blocked & nonlite)
+                    if not fused_loss:
+                        ts, _ = _sphere_t_fwd(sph(s, 1), sph(s, 2),
+                                              sph(s, 3), sph(s, 0),
+                                              hx, hy, hz, sdx, sdy, sdz)
+                        blocked = (ts > 0.0) & (ts < maxt)
+                        occ = occ | (blocked & nonlite)
                     if vis:
                         edge, gate_b, endp, _, _, _, _ = vis_terms(
                             s, hx, hy, hz, sdx, sdy, sdz, maxt)
@@ -1017,6 +1175,170 @@ def _diff_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+def _fused_kernel(scene_ref, vpl_ref, tape_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  tr_ref, tg_ref, tb_ref, vm_ref,
+                  dtab_ref, dvpl_ref,
+                  dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
+                  dloss_ref, *, cfg: IntegratorConfig,
+                  light_idx: tuple[int, ...], n_spheres: int, n_vpl: int,
+                  use_vpl: bool, inv3n: float):
+    """Fused l2 training-step kernel: `_bwd_kernel` in fused_loss mode
+    (targets in, loss partial + gradients out; no separate forward
+    kernel)."""
+    _bwd_kernel(scene_ref, vpl_ref, tape_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                tr_ref, tg_ref, tb_ref,
+                dtab_ref, dvpl_ref,
+                dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
+                vm_ref, dloss_ref,
+                cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
+                n_vpl=n_vpl, use_vpl=use_vpl,
+                fused_loss=True, inv3n=inv3n)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
+                n_spheres: int, n_vpl: int, use_vpl: bool,
+                tile_rows: int, rows_total: int, n_true: int,
+                interpret: bool):
+    """The fused loss+grad pallas_call, cached per static config."""
+    L = max(len(light_idx), 1)
+    _, k_total = _tape_rows(cfg, L)
+    n_tiles = rows_total // tile_rows
+    rb_ = _row_block(tile_rows)
+    tape_spec = pl.BlockSpec((k_total, tile_rows, _LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nv = max(n_vpl, 1)
+    kernel = functools.partial(
+        _fused_kernel, cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
+        n_vpl=n_vpl, use_vpl=use_vpl, inv3n=1.0 / (3.0 * n_true))
+
+    def call(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz, tr, tg, tb, vm):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[full, full, tape_spec,
+                      rb_, rb_, rb_, rb_, rb_, rb_,    # rays
+                      rb_, rb_, rb_, rb_],             # target + validity
+            out_specs=(
+                pl.BlockSpec((1, n_spheres, 16), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nv, 16), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                rb_, rb_, rb_, rb_, rb_, rb_,
+                # 3-D like the dtab block: a (1, 16) 2-D block violates
+                # Mosaic's (8, 128)-divisible-or-full rule on hardware
+                # (interpret mode does not check it).
+                pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles, n_spheres, 16), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nv, 16), jnp.float32),
+                *(jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
+                  for _ in range(6)),
+                jax.ShapeDtypeStruct((n_tiles, 1, 16), jnp.float32)),
+            interpret=interpret,
+        )(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz, tr, tg, tb, vm)
+
+    return call
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "light_idx",
+                                             "tile_rows", "interpret",
+                                             "lane_total"))
+def trace_pallas_loss_grad(scene: Scene, cfg: IntegratorConfig,
+                           light_idx: tuple[int, ...], rays: Rays,
+                           key: Array, sample: Array, target: Array,
+                           vpls: VplBuffer | None = None,
+                           vlp_index: Array | None = None,
+                           tile_rows: int = 16, interpret: bool = False,
+                           lane_offset=None, lane_total: int | None = None):
+    """The FUSED l2 training step: loss + scene gradients from ONE pallas
+    kernel (VERDICT r4 #3's census lever — the separate forward kernel
+    was 0.634 ms of pure recompute in the 2.163 ms step; here the
+    adjoint kernel's own forward sweep supplies the radiance, the l2
+    cotangent forms in-kernel, and the fwd pallas_call disappears).
+
+    Estimator and gradient policy identical to `jax.grad` of the l2
+    loss over `trace_pallas_diff` (same tape, same adjoint code —
+    literally `_bwd_kernel`; parity asserted in tests/test_pallas_grad
+    .py::TestFusedStep). ``target`` is ``[N, 3]`` radiance lanes.
+
+    Returns ``(loss, dscene, dvpl_float)`` where ``dscene`` is a Scene
+    cotangent (refl zeros) covering the DIRECT dependence (scene table +
+    VPL window gather), and ``dvpl_float = (dhp, drad, dnl)`` is the VPL
+    buffer cotangent for the caller to pull through `trace_light_paths`
+    (the light-subpath chain; see diff.gradients). ``None`` when the
+    estimator is unidirectional.
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    n = rays.o.shape[0]
+    L = max(len(light_idx), 1)
+    _, k_total = _tape_rows(cfg, L)
+
+    tile = tile_rows * _LANES
+    n_pad = ((n + tile - 1) // tile) * tile
+    rows_total = n_pad // _LANES
+
+    def plane(x, fill=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill
+                       ).reshape(rows_total, _LANES)
+
+    ox, oy, oz = (plane(rays.o[:, i]) for i in range(3))
+    dx = plane(rays.d[:, 0])
+    dy = plane(rays.d[:, 1])
+    dz = plane(rays.d[:, 2], fill=1.0)
+    tr = plane(target[:, 0])
+    tg = plane(target[:, 1])
+    tb = plane(target[:, 2])
+    vm = plane(jnp.ones((n,), jnp.float32))
+
+    tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
+    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+        k_total, rows_total, _LANES)
+
+    refl = scene.refl
+    bidir = cfg.use_vpl and vpls is not None
+    if bidir:
+        valid, sid = vpls.valid, vpls.sid
+
+        def tables(p, rad, e, c, hp, vrad, vnl):
+            sc = Scene(rad=rad, p=p, e=e, c=c, refl=refl)
+            vb = VplBuffer(hp=hp, rad=vrad, nl=vnl, valid=valid, sid=sid)
+            return _scene_table(sc), _vpl_table(cfg, vb, vlp_index)[0]
+
+        (tab, vpl_tab), pull = jax.vjp(
+            tables, scene.p, scene.rad, scene.e, scene.c,
+            vpls.hp, vpls.rad, vpls.nl)
+        n_vpl, use_vpl = vpl_tab.shape[0], True
+    else:
+        def tables(p, rad, e, c):
+            return _scene_table(Scene(rad=rad, p=p, e=e, c=c, refl=refl))
+
+        tab, pull = jax.vjp(tables, scene.p, scene.rad, scene.e, scene.c)
+        vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, None, None)
+
+    f = _fused_core(cfg, tuple(light_idx), scene.num_spheres, n_vpl,
+                    use_vpl, tile_rows, rows_total, n, interpret)
+    (dtab_t, dvpl_t, _dox, _doy, _doz, _ddx, _ddy, _ddz,
+     dloss_t) = f(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz,
+                  tr, tg, tb, vm)
+    loss = dloss_t[:, 0, 0].sum() / jnp.float32(3.0 * n)
+    dtab = jnp.sum(dtab_t, axis=0).at[:, 10:].set(0.0)
+    if bidir:
+        dvpl = jnp.sum(dvpl_t, axis=0).at[:, 9:].set(0.0)
+        dp_, drad_, de_, dc_, dhp, dvr, dvn = pull((dtab, dvpl))
+        dvpl_float = (dhp, dvr, dvn)
+    else:
+        dp_, drad_, de_, dc_ = pull(dtab)
+        dvpl_float = None
+    dscene = Scene(rad=drad_, p=dp_, e=de_, c=dc_,
+                   refl=jnp.zeros_like(refl))
+    return loss, dscene, dvpl_float
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "light_idx", "tile_rows",

@@ -220,3 +220,69 @@ class TestPallasAdjoint:
         assert np.abs(np.asarray(gp.d)).max() > 0
         assert _max_rel(np.asarray(gx.o), np.asarray(gp.o)) < 5e-3
         assert _max_rel(np.asarray(gx.d), np.asarray(gp.d)) < 5e-3
+
+
+class TestFusedStep:
+    """The fused l2 training-step kernel (VERDICT r4 #3): loss + scene
+    gradients from ONE pallas call must match jax.grad of the l2 loss
+    over the XLA tracer — same estimator, same tape, no separate
+    forward kernel."""
+
+    @pytest.mark.parametrize("vis_tau", [0.0, 2.0])
+    def test_matches_xla_autodiff(self, vis_tau):
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+
+        scene = builtin.cornell_box()
+        w, h = 16, 16
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        cfg = dataclasses.replace(IntegratorConfig(), max_depth=2,
+                                  vis_grad_tau=vis_tau)
+        li = static_light_indices(scene)
+        key = jax.random.key(3)
+        target = jnp.full((h, w, 3), 0.2)
+
+        # routed automatically: l2 + pallas + spp 1 + sil off
+        l_f, g_f = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                      li, 1, "l2", "pallas")
+        l_x, g_x = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                      li, 1, "l2", "xla")
+        assert abs(float(l_f) - float(l_x)) <= 1e-5 * max(
+            1.0, abs(float(l_x)))
+        for f in ("p", "rad", "c", "e"):
+            a = np.asarray(getattr(g_x, f))
+            b = np.asarray(getattr(g_f, f))
+            scale = max(np.abs(a).max(), 1e-12)
+            np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3 * scale,
+                                       err_msg=f"{f} (vis_tau={vis_tau})")
+
+    def test_unidirectional_config(self):
+        """No-VPL estimator: the fused kernel's bidir branches are off
+        and no light-subpath pullback runs."""
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+
+        scene = builtin.cornell_box()
+        w, h = 16, 8
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                  max_depth=2)
+        li = static_light_indices(scene)
+        key = jax.random.key(5)
+        target = jnp.zeros((h, w, 3))
+        l_f, g_f = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                      li, 1, "l2", "pallas")
+        l_x, g_x = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                      li, 1, "l2", "xla")
+        assert abs(float(l_f) - float(l_x)) <= 1e-5 * max(
+            1.0, abs(float(l_x)))
+        for f in ("p", "rad", "c", "e"):
+            a = np.asarray(getattr(g_x, f))
+            b = np.asarray(getattr(g_f, f))
+            scale = max(np.abs(a).max(), 1e-12)
+            np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3 * scale,
+                                       err_msg=f)

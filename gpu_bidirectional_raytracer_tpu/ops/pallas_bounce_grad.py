@@ -110,14 +110,16 @@ def _aux_kernel(scene_ref, vpl_ref, tape_ref, ox_ref, oy_ref, oz_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "light_idx",
                                              "direct_only", "tile_rows",
-                                             "interpret", "lane_total"))
+                                             "interpret", "lane_total",
+                                             "frame_dims"))
 def trace_bounce_aux(scene: Scene, cfg: IntegratorConfig,
                      light_idx: tuple[int, ...], rays: Rays, key: Array,
                      sample: Array, vpls: VplBuffer | None = None,
                      vlp_index: Array | None = None,
                      direct_only: bool = False,
                      tile_rows: int = 16, interpret: bool = False,
-                     lane_offset=None, lane_total: int | None = None):
+                     lane_offset=None, lane_total: int | None = None,
+                     frame_dims: tuple[int, int] | None = None):
     """Run the per-depth bounce kernel over all depths collecting the
     discrete facts. Returns ``(aux, rad)`` where ``aux = (hit_id [D,N]
     int32, occ_light [D,N,L] bool, occ_vpl [D,N,V] bool | None)`` is the
@@ -135,8 +137,36 @@ def trace_bounce_aux(scene: Scene, cfg: IntegratorConfig,
     n_pad = ((n + tile - 1) // tile) * tile
     rows_total = n_pad // _LANES
 
+    # Block-tiled pixel layout (see `pallas_bounce.trace_pallas_bounce`):
+    # compact image rectangles per kernel tile so spatially clustered
+    # path deaths empty whole tiles for the dead-tile guard. Pure
+    # reshape/transpose; facts come back un-permuted below.
+    from gpu_bidirectional_raytracer_tpu.ops.pallas_bounce import _BLOCK_W
+
+    bw = _BLOCK_W
+    bh = tile // bw
+    use_blocks = (frame_dims is not None and n_pad == n
+                  and frame_dims[0] * frame_dims[1] == n
+                  and frame_dims[0] % bw == 0 and frame_dims[1] % bh == 0)
+    if use_blocks:
+        W, H = frame_dims
+
+        def to_blocks(x):
+            return (x.reshape(H // bh, bh, W // bw, bw)
+                    .transpose(0, 2, 1, 3).reshape(-1))
+
+        def from_blocks(x):
+            return (x.reshape(H // bh, W // bw, bh, bw)
+                    .transpose(0, 2, 1, 3).reshape(-1))
+    else:
+        def to_blocks(x):
+            return x
+
+        def from_blocks(x):
+            return x
+
     def plane(x, fill=0.0):
-        return jnp.pad(x, (0, n_pad - n), constant_values=fill
+        return jnp.pad(to_blocks(x), (0, n_pad - n), constant_values=fill
                        ).reshape(rows_total, _LANES)
 
     state = (
@@ -194,6 +224,8 @@ def trace_bounce_aux(scene: Scene, cfg: IntegratorConfig,
         rows = jnp.concatenate(
             [lu.reshape(L, 2, n)[:, 0, :], lu.reshape(L, 2, n)[:, 1, :],
              du, ru], axis=0)
+        if use_blocks:
+            rows = jax.vmap(to_blocks)(rows)
         tape = jnp.pad(rows, ((0, 0), (0, n_pad - n))).reshape(
             per_depth, rows_total, _LANES)
         outs = call(scene_tab, vpl_tab, tape, *state)
@@ -201,8 +233,8 @@ def trace_bounce_aux(scene: Scene, cfg: IntegratorConfig,
 
     state, aux_planes = jax.lax.scan(body, state, jnp.arange(D))
 
-    def flat(x):  # [D, rows, 128] -> [D, n]
-        return x.reshape(D, n_pad)[:, :n]
+    def flat(x):  # [D, rows, 128] -> [D, n], back in pixel order
+        return jax.vmap(from_blocks)(x.reshape(D, n_pad)[:, :n])
 
     hit_id = flat(aux_planes[0]).astype(jnp.int32)
     occ_light = jnp.stack([flat(a) > 0.5
@@ -211,8 +243,9 @@ def trace_bounce_aux(scene: Scene, cfg: IntegratorConfig,
     if use_vpl and n_vpl > 0:
         occ_vpl = jnp.stack([flat(a) > 0.5
                              for a in aux_planes[1 + L:]], axis=-1)
-    rad = jnp.stack([state[6].reshape(-1)[:n], state[7].reshape(-1)[:n],
-                     state[8].reshape(-1)[:n]], axis=-1)
+    rad = jnp.stack([from_blocks(state[6].reshape(-1)[:n]),
+                     from_blocks(state[7].reshape(-1)[:n]),
+                     from_blocks(state[8].reshape(-1)[:n])], axis=-1)
     return (hit_id, occ_light, occ_vpl), rad
 
 
@@ -223,7 +256,8 @@ def trace_bounce_diff(scene: Scene, cfg: IntegratorConfig,
                       direct_only: bool = False,
                       tile_rows: int = 16, interpret: bool = False,
                       lane_offset=None, lane_total: int | None = None,
-                      facts: str = "auto") -> Array:
+                      facts: str = "auto",
+                      frame_dims: tuple[int, int] | None = None) -> Array:
     """Differentiable drop-in for `path_tracer.trace` beyond the 64-sphere
     pallas-adjoint cap: detached facts + XLA re-walk (module docstring).
 
@@ -248,7 +282,8 @@ def trace_bounce_diff(scene: Scene, cfg: IntegratorConfig,
             vlp_index=None if vlp_index is None else sg(vlp_index),
             direct_only=direct_only, tile_rows=tile_rows,
             interpret=interpret,
-            lane_offset=lane_offset, lane_total=lane_total)
+            lane_offset=lane_offset, lane_total=lane_total,
+            frame_dims=frame_dims)
     else:
         _, aux = path_tracer.trace(
             sg(scene), cfg, light_idx, sg(rays), key, sample,

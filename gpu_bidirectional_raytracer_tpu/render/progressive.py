@@ -160,7 +160,8 @@ def eye_accumulate_pass(scene: Scene, cam: Camera, state: RenderState,
                 scene, cfg, light_idx, rays, state.key, state.sample,
                 vpls=vpls if cfg.use_vpl else None, vlp_index=vlp_index,
                 direct_only=direct_only,
-            ).reshape(height, width, 3)
+                frame_dims=(width, height),   # block tiles: dead regions
+            ).reshape(height, width, 3)       # skip whole kernel tiles
         else:
             radiance = path_tracer.trace(
                 scene, cfg, light_idx, rays, state.key, state.sample,

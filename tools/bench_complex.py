@@ -66,7 +66,8 @@ def main() -> None:
 
                     r = trace_pallas_bounce(scene, cfg, li, rays, key, s,
                                             vpls=vpls,
-                                            vlp_index=jnp.int32(0))
+                                            vlp_index=jnp.int32(0),
+                                            frame_dims=(w, h))
                 else:
                     r = path_tracer.trace(scene, cfg, li, rays, key, s,
                                           vpls=vpls, vlp_index=jnp.int32(0),

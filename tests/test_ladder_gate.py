@@ -94,9 +94,9 @@ class TestInverseRungGate:
 
     @pytest.mark.parametrize("field,value,check", [
         ("loss_final", 1.5, "loss_reduced"),
-        ("pos_err_final", 3.0, "pos_err<=1.5"),
-        ("rad_err_final", 2.0, "rad_err<=0.8"),
-        ("albedo_err_final", 0.3, "albedo_err<=0.12"),
+        ("pos_err_final", 3.0, "pos_err<=1.2"),
+        ("rad_err_final", 2.0, "rad_err<=0.6"),
+        ("albedo_err_final", 0.3, "albedo_err<=0.10"),
         ("loss_final", float("nan"), "finite"),
     ])
     def test_non_recovery_fails(self, field, value, check):

@@ -325,6 +325,10 @@ def main() -> None:
         "vs_baseline": 1.0,
         "extra": {
             "bwd_backend": bwd_backend,
+            # l2/pallas/spp1 routes to the single-kernel fused step
+            # (ops.pallas_grad.trace_pallas_loss_grad, round 5): no
+            # separate forward kernel, occ facts reused by the adjoint.
+            "fwd_bwd_fused": bwd_backend == "pallas",
             "estimator": "bidirectional_vpl",
             "rays_per_sec_fwd": round(n_rays / t_fwd, 1),
             "rays_per_sec_fwd_pallas": (

@@ -41,11 +41,15 @@ Known estimator limits (measured, see tests):
   the tracer, so it composes with the pallas adjoint); the carrier
   follows SPECULAR chains up to ``cfg.sil_spec_depth`` bounces —
   mirror reflections AND dielectric refractions (a sphere seen through
-  a glass lens carries coverage gradient, round 4). Remaining
-  zero-gradient structure: diffuse-bounce (truly indirect)
-  silhouettes, the Fresnel-reflected image off glass, and the hard
-  near-endpoint self-intersection gate of shadow segments (the far
-  endpoint is relaxed two-sidedly by `intersect.soft_visibility`).
+  a glass lens carries coverage gradient, round 4), plus the
+  Fresnel-REFLECTED branch spawned at the primary glass hit (a sphere
+  seen only MIRRORED in a glass ball, round 5 — single bounce, weight
+  stop(Re); residual bound in artifacts/REFR_REFLECT_BIAS.json).
+  Remaining zero-gradient structure: diffuse-bounce (truly indirect)
+  silhouettes, higher-order sampled-field structure at glass (RR path
+  population, two-interface caustics), and the hard near-endpoint
+  self-intersection gate of shadow segments (the far endpoint is
+  relaxed two-sidedly by `intersect.soft_visibility`).
 """
 
 from __future__ import annotations
@@ -119,9 +123,14 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
     ``device.cu:715-770``) — carries coverage gradient: on such lanes
     the pixel is ``prod tint * L(continued ray)`` in expectation, with
     ``tint = c_mirror`` per mirror leg and ``c_glass * (1 - Re)`` per
-    refraction (the stopped Fresnel transmittance; the Fresnel-REFLECTED
-    component of a glass hit is not walked — a documented bias that
-    skips the dimmer mirrored silhouette). The depth-k tape feeds each
+    refraction (the stopped Fresnel transmittance). The
+    Fresnel-REFLECTED component of the PRIMARY glass hit is walked too
+    (round 5): a second chain continues along the mirror direction with
+    ``tint = c_glass * stop(Re)``, so a sphere seen only mirrored in a
+    glass ball carries a sign-correct coverage term (single spawn —
+    deeper spawns branch exponentially; the measured residual after
+    this term is RR-population / two-interface structure, bounded in
+    artifacts/REFR_REFLECT_BIAS.json). The depth-k tape feeds each
     leg's NEE. The chain GEOMETRY is DIFFERENTIABLE through the stopped
     hit ids (round 4): hit points / normals / reflection / refraction
     directions come from one-hot gathers of the real scene, so a
@@ -220,28 +229,23 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         _NT as NT,
     )
 
-    o_l, d_l = o, d
-    active = jnp.ones((n,), jnp.float32)
-    tint = jnp.ones((n, 3), jnp.float32)
-    out = jnp.zeros((n, 3), jnp.float32)
-    depth_cap = min(max(int(cfg.sil_spec_depth), 0), cfg.max_depth - 1)
-    for k in range(depth_cap + 1):
-        out = out + leg(o_l, d_l, active, tint, k, use_rad=(k == 0))
-        if k == depth_cap:
-            break
+    def advance(o_l, d_l):
+        """One specular-chain continuation along (stopped-id) geometry.
+
+        The chain geometry is DIFFERENTIABLE through the stopped hit
+        ids (round 4): the reflected/refracted ray moves with the
+        upstream sphere's position/radius, so a terminal hit's
+        coverage sweep carries d(det)/d(upstream params) — the
+        interior-image motion of a mirror or lens as IT moves. Hit
+        points/normals come from one-hot gathers of the REAL scene on
+        the stopped ids, with the guarded one-sphere root
+        (`intersect.sphere_root`) supplying a differentiable t.
+        Dielectric continuation follows the deterministic branches of
+        device.cu:715-770; discrete choices (into, TIR, material) and
+        the Fresnel weight are stopped; the double-where guards the
+        TIR sqrt."""
         hit_k, _, hid_k = isect.intersect(scene0, o_l, d_l)
-        p_k0, _, c_k, refl_k = isect.gather_sphere_attrs(scene0, hid_k)
-        # The chain geometry is DIFFERENTIABLE through the stopped hit
-        # ids (round 4): the reflected/refracted ray moves with the
-        # upstream sphere's position/radius, so a terminal hit's
-        # coverage sweep carries d(det)/d(upstream params) — the
-        # interior-image motion of a mirror or lens as IT moves, which
-        # the fully-stopped walk missed (measured: the dark-glass rim
-        # lateral was 62% under FD; a mirrored sphere carries no
-        # gradient w.r.t. the MIRROR's position at all). Hit
-        # points/normals come from one-hot gathers of the REAL scene on
-        # the stopped ids, with the guarded one-sphere root
-        # (`intersect.sphere_root`) supplying a differentiable t.
+        _, _, c_k, refl_k = isect.gather_sphere_attrs(scene0, hid_k)
         oh_k = jax.nn.one_hot(hid_k, scene.num_spheres, dtype=jnp.float32)
         p_k = jnp.dot(oh_k, scene.p, preferred_element_type=jnp.float32)
         r_sph = jnp.dot(oh_k, scene.rad[:, None],
@@ -250,9 +254,6 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         hp_k = o_l + jnp.where(hit_k, t_k, 1.0)[:, None] * d_l
         n_k = vm.norm(hp_k - p_k, eps=1e-20)
         r_k = d_l - 2.0 * vm.dot(n_k, d_l)[:, None] * n_k
-        # Dielectric continuation: the deterministic transmission branch
-        # of device.cu:715-770. Discrete choices (into, TIR, material)
-        # are inherently stopped; the double-where guards the TIR sqrt.
         dp_k = vm.dot(n_k, d_l)
         into = dp_k < 0.0
         nl_k = vm.smul(jnp.where(into, 1.0, -1.0), n_k)
@@ -271,11 +272,51 @@ def _silhouette_carrier(scene: Scene, cfg: IntegratorConfig,
         is_refr = refl_k == REFR
         take_refl = is_spec | (is_refr & tir)
         next_d = jnp.where(take_refl[:, None], r_k, t_dir)
-        trans_w = jnp.where(is_refr & jnp.logical_not(tir),
-                            1.0 - re, 1.0)
-        active = active * (hit_k & (is_spec | is_refr)).astype(jnp.float32)
-        tint = sg(tint * c_k * trans_w[:, None])
-        o_l, d_l = hp_k, next_d
+        trans_w = jnp.where(is_refr & jnp.logical_not(tir), 1.0 - re, 1.0)
+        cont = (hit_k & (is_spec | is_refr)).astype(jnp.float32)
+        return dict(hp=hp_k, next_d=next_d, r_k=r_k, cont=cont,
+                    tint_mul=sg(c_k * trans_w[:, None]),
+                    refl_spawn=(hit_k & is_refr
+                                & jnp.logical_not(tir)).astype(jnp.float32),
+                    re=re, c_k=c_k)
+
+    o_l, d_l = o, d
+    active = jnp.ones((n,), jnp.float32)
+    tint = jnp.ones((n, 3), jnp.float32)
+    out = jnp.zeros((n, 3), jnp.float32)
+    depth_cap = min(max(int(cfg.sil_spec_depth), 0), cfg.max_depth - 1)
+    b_state = None
+    for k in range(depth_cap + 1):
+        out = out + leg(o_l, d_l, active, tint, k, use_rad=(k == 0))
+        if k == depth_cap:
+            break
+        adv = advance(o_l, d_l)
+        if k == 0:
+            # Spawn the Fresnel-REFLECTED branch at the primary glass
+            # hit (VERDICT r4 #7): a non-TIR REFR hit also mirrors its
+            # surroundings with weight Re — the walk below carries the
+            # reflected image's coverage (a sphere seen only MIRRORED
+            # in a glass ball; measured FD -0.667 +- 0.245 where the
+            # transmission-only walk gave +0.49, wrong sign). One spawn
+            # at k=0 covers the dominant single-Fresnel-bounce image;
+            # deeper spawns would branch exponentially.
+            b_state = (adv["hp"], adv["r_k"],
+                       active * adv["refl_spawn"],
+                       sg(tint * adv["c_k"] * adv["re"][:, None]))
+        active = active * adv["cont"]
+        tint = sg(tint * adv["tint_mul"])
+        o_l, d_l = adv["hp"], adv["next_d"]
+
+    if b_state is not None:
+        b_o, b_d, b_active, b_tint = b_state
+        for kb in range(1, depth_cap + 1):
+            out = out + leg(b_o, b_d, b_active, b_tint, kb, use_rad=False)
+            if kb == depth_cap:
+                break
+            adv = advance(b_o, b_d)
+            b_active = b_active * adv["cont"]
+            b_tint = sg(b_tint * adv["tint_mul"])
+            b_o, b_d = adv["hp"], adv["next_d"]
     return out
 
 

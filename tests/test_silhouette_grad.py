@@ -712,3 +712,73 @@ class TestMirrorMotionSilhouette:
         assert abs(got_det - fd) / abs(fd) > 0.5, (got_det, fd)
         assert np.sign(got_sil) == np.sign(fd), (got_sil, fd)
         assert abs(got_sil - fd) / abs(fd) < 0.3, (got_sil, fd)
+
+
+class TestGlassReflectedImage:
+    """The Fresnel-REFLECTED image off glass (VERDICT r4 #7): the chain
+    walk spawns a reflected branch at the primary glass hit (weight
+    stop(Re)), so a sphere seen only MIRRORED in a glass ball carries a
+    sign-correct coverage term. Measured (12-tape means, ramp weights,
+    artifacts/REFR_REFLECT_BIAS.json): the term is real (-0.051 on the
+    large-image scene, pulling toward FD -0.30 from the detached +0.26)
+    but bounded by Re x convex-mirror minification — the rest of the
+    FD-vs-detached residual is RR-population / two-interface structure
+    outside the carrier family (documented bias). This test pins the
+    premise and the mechanism's direction on fixed tapes."""
+
+    @pytest.fixture(scope="class")
+    def gsetup2(self):
+        from gpu_bidirectional_raytracer_tpu.core.types import REFR
+
+        scene = Scene(
+            rad=jnp.array([20.0, 12.0, 40.0, 8.0]),
+            p=jnp.array([[0.0, 0.0, 0.0],        # big clear glass ball
+                         [28.0, 0.0, 55.0],      # red ball off-frustum
+                         [0.0, 0.0, -70.0],      # grey wall
+                         [0.0, 60.0, 60.0]]),    # light
+            e=jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+                         [0.0, 0.0, 0.0], [40.0, 40.0, 40.0]]),
+            c=jnp.array([[0.95, 0.95, 0.95], [0.9, 0.12, 0.08],
+                         [0.45, 0.45, 0.45], [0.0, 0.0, 0.0]]),
+            refl=jnp.array([REFR, 0, 0, 0], jnp.int32))
+        cam = Camera.make(jnp.array([0.0, 0.0, 70.0]),
+                          jnp.array([0.0, 0.0, 0.0]), W, H)
+        return scene, cam, static_light_indices(scene)
+
+    def test_object_hidden_from_camera(self, gsetup2):
+        from gpu_bidirectional_raytracer_tpu import camera as cam_mod
+        from gpu_bidirectional_raytracer_tpu.integrators import (
+            intersect as isect,
+        )
+
+        scene, cam, li = gsetup2
+        px, py = cam_mod.pixel_grid(W, H)
+        uv = jnp.full((2, W * H), 0.5)
+        rays = cam_mod.primary_rays(cam, W, H, uv[0], uv[1], px, py)
+        _, _, hid = isect.intersect(scene, rays.o, rays.d)
+        assert not bool(np.any(np.asarray(hid) == 1))
+
+    def test_reflected_walk_pulls_toward_fd(self, gsetup2):
+        scene, cam, li = gsetup2
+        xr = (jnp.arange(W, dtype=jnp.float32) / W)[None, :, None]
+        wts = jnp.broadcast_to(xr, (H, W, 3))
+
+        def mean_grad(tau):
+            vals = []
+            for seed in range(6):
+                key = jax.random.key(seed)
+                cfg = dataclasses.replace(IntegratorConfig.cpu_golden(),
+                                          sil_grad_tau=tau,
+                                          sil_spec_depth=2)
+                auto = jax.grad(
+                    lambda sc: jnp.sum(wts * G.render_radiance(
+                        sc, cam, key, cfg, W, H, li, 12)),
+                    allow_int=True)(scene)
+                vals.append(float(np.asarray(auto.p)[1, 0]))
+            return float(np.mean(vals))
+
+        got0 = mean_grad(0.0)
+        got2 = mean_grad(2.0)
+        # FD is negative here (artifact); the reflected-branch coverage
+        # term must pull the carrier toward it by a pinned margin.
+        assert got2 < got0 - 0.02, (got0, got2)

@@ -186,14 +186,14 @@ def _tape_rows(cfg: IntegratorConfig, n_lights: int):
     return per_depth, per_depth * cfg.max_depth
 
 
-def _camera_rays_in_kernel(cam_ref, tape_ref, tile_rows: int,
+def _camera_rays_in_kernel(cam_ref, trow, tile_rows: int,
                            width: int, height: int):
     """Generate primary rays in-kernel (device.cu:560-600 semantics).
 
     ``cam_ref``: [2,16] table — row 0: x_hat(0:3), y_hat(3:6), d_hat(6:9),
     orig(9:12); row 1: inv_w, inv_h, temp(2:5) (the homogeneous-divide
     constants). Pixel ids derive from the grid position, jitter from tape
-    rows 0-1.
+    rows 0-1 (``trow``).
     """
     f32 = jnp.float32
     base = pl.program_id(0) * tile_rows * _LANES
@@ -205,8 +205,8 @@ def _camera_rays_in_kernel(cam_ref, tape_ref, tile_rows: int,
 
     inv_w = cam_ref[1, 0]
     inv_h = cam_ref[1, 1]
-    kx = inv_w * (px + tape_ref[0] - f32(width) * 0.5)
-    ky = inv_h * (py + tape_ref[1] - f32(height) * 0.5)
+    kx = inv_w * (px + trow(0) - f32(width) * 0.5)
+    ky = inv_h * (py + trow(1) - f32(height) * 0.5)
     kz = f32(10.0)
 
     w_ = kx * cam_ref[1, 2] + ky * cam_ref[1, 3] + kz * cam_ref[1, 4] + 1.0
@@ -444,7 +444,8 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
             cfg: IntegratorConfig, light_idx: tuple[int, ...],
             n_spheres: int, n_vpl: int, use_vpl: bool,
             cam_mode: bool = False, tile_rows: int = 0,
-            width: int = 0, height: int = 0, cam_rows: int = 0):
+            width: int = 0, height: int = 0, cam_rows: int = 0,
+            inline_tape: bool = False):
     f32 = jnp.float32
     L = max(len(light_idx), 1)
     per_depth, _ = _tape_rows(cfg, L)
@@ -452,10 +453,19 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
     def sph(s, k):
         return scene_ref[s, k]
 
+    if inline_tape:
+        # tape_ref carries the per-row SITE KEYS; args lead with the
+        # affine table. The tape regenerates in-register (_inline_trow).
+        aff_ref, args = args[0], args[1:]
+        trow_all = _inline_trow(tape_ref, aff_ref, tile_rows)
+    else:
+        def trow_all(i):
+            return tape_ref[i]
+
     if cam_mode:
         (cam_ref, rr_ref, rg_ref, rb_ref) = args
         ox, oy, oz, dx, dy, dz = _camera_rays_in_kernel(
-            cam_ref, tape_ref, tile_rows, width, height)
+            cam_ref, trow_all, tile_rows, width, height)
     else:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          rr_ref, rg_ref, rb_ref) = args
@@ -474,7 +484,7 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
 
     for depth in range(cfg.max_depth):
         def trow(i, depth=depth):
-            return tape_ref[cam_rows + depth * per_depth + i]
+            return trow_all(cam_rows + depth * per_depth + i)
 
         (ox, oy, oz, dx, dy, dz, rad_r, rad_g, rad_b, tp_r, tp_g, tp_b,
          specular, alive) = _bounce_step(
@@ -512,6 +522,104 @@ def _build_tape(cfg: IntegratorConfig, n_lights: int, key: Array,
         rows.append(du)
         rows.append(ru)
     return jnp.concatenate([r.reshape(-1, n) for r in rows], axis=0)
+
+
+def _mix32_key_dtype(key: Array) -> bool:
+    """True when `key` is a mix32 typed key — the only impl whose
+    bitstream the kernels can regenerate in-register (frozen u32
+    pipeline, rng._mix32). threefry/rbg keys fall back to the
+    precomputed-tape inputs."""
+    return "mx32" in str(key.dtype)
+
+
+def _tape_key_tables(cfg: IntegratorConfig, n_lights: int, key: Array,
+                     sample: Array, lane_offset, lane_total: int,
+                     cam_jitter: bool = False, stratify: int = 0):
+    """Per-tape-row site keys + affine for IN-KERNEL tape generation.
+
+    Returns ``(keys_u32 [K+1, 4], aff_f32 [K, 4])`` where row i of the
+    tape is ``aff[i,0] + aff[i,1] * uniform(mix32(ctr ^ k0, k1))`` with
+    ``ctr = rw * lane_total + lane_offset + local_lane`` — exactly the
+    bitstream `_build_tape` materializes (`rng.site_uniforms` counter
+    addressing: block row ``rw``, global lane column), so the in-kernel
+    stream is BITWISE the precomputed tape. The affine row carries the
+    stratified-jitter map for the camera rows ((s%k + u)/k, camera.
+    stratify_jitter) and is (0, 1) everywhere else. The final keys row
+    is metadata: [lane_offset, lane_total, 0, 0].
+    """
+    import jax.random as jrandom
+
+    L = max(n_lights, 1)
+    u32 = jnp.uint32
+    rows_k: list = []
+    rows_a: list = []
+
+    def site(purpose, depth, order, aff=None):
+        kd = jrandom.key_data(rng.stream_key(key, sample, depth, purpose)
+                              ).astype(u32)
+        for j, rw in enumerate(order):
+            rows_k.append(jnp.stack([kd[0], kd[1], u32(rw), u32(0)]))
+            rows_a.append(aff[j] if aff is not None
+                          else jnp.array([0.0, 1.0, 0.0, 0.0], jnp.float32))
+
+    if cam_jitter:
+        if stratify > 0:
+            s = jnp.asarray(sample)
+            inv = jnp.float32(1.0 / stratify)
+            sx = (s % stratify).astype(jnp.float32) * inv
+            sy = ((s // stratify) % stratify).astype(jnp.float32) * inv
+            aff = [jnp.stack([sx, inv, jnp.float32(0), jnp.float32(0)]),
+                   jnp.stack([sy, inv, jnp.float32(0), jnp.float32(0)])]
+        else:
+            aff = None
+        site(rng.CAM_JITTER, 0, [0, 1], aff)
+    for depth in range(cfg.max_depth):
+        # _build_tape packs the LIGHT_UV site's [L, 2] rows as all-u1
+        # then all-u2: tape order = site rows 0,2,..,2L-2, 1,3,..,2L-1.
+        site(rng.LIGHT_UV, depth,
+             list(range(0, 2 * L, 2)) + list(range(1, 2 * L, 2)))
+        site(rng.DIFF_UV, depth, [0, 1])
+        site(rng.REFR_RR, depth, [0])
+    off = (u32(0) if lane_offset is None
+           else jnp.asarray(lane_offset).astype(u32))
+    rows_k.append(jnp.stack([off, u32(lane_total), u32(0), u32(0)]))
+    return jnp.stack(rows_k), jnp.stack(rows_a)
+
+
+def _inline_trow(keys_ref, aff_ref, tile_rows: int):
+    """trow(i) that REGENERATES tape row i for this tile in-register
+    (mix32 contract pipeline, rng.py:84-97 — frozen constants) instead
+    of loading a precomputed plane: no tape materialization in HBM, no
+    tape DMA per tile."""
+    u32 = jnp.uint32
+    base = (pl.program_id(0) * tile_rows * _LANES).astype(jnp.int32)
+    rowi = jax.lax.broadcasted_iota(u32, (tile_rows, _LANES), 0)
+    lanei = jax.lax.broadcasted_iota(u32, (tile_rows, _LANES), 1)
+    meta = keys_ref.shape[0] - 1
+    gl = (base.astype(u32) + rowi * u32(_LANES) + lanei
+          + keys_ref[meta, 0])                      # global lane id
+    ltot = keys_ref[meta, 1]
+    s1, s2, s3, s4 = 17, 11, 15, 14
+    m1, m2, m3 = 0xed5ad4bb, 0xac4c1b51, 0x31848bab
+
+    def trow(i):
+        k0, k1, rw = keys_ref[i, 0], keys_ref[i, 1], keys_ref[i, 2]
+        x = (rw * ltot + gl) ^ k0
+        x = x ^ (x >> u32(s1))
+        x = x * u32(m1)
+        x = x + k1
+        x = x ^ (x >> u32(s2))
+        x = x * u32(m2)
+        x = x ^ (x >> u32(s3))
+        x = x * u32(m3)
+        x = x ^ (x >> u32(s4))
+        # u32->f32 casts don't lower on Mosaic; the top-23-bit value is
+        # < 2^23 so the i32 hop is exact.
+        u = ((x >> u32(9)).astype(jnp.int32).astype(jnp.float32)
+             * jnp.float32(2.0 ** -23))
+        return aff_ref[i, 0] + aff_ref[i, 1] * u
+
+    return trow
 
 
 def _scene_table(scene: Scene) -> Array:
@@ -588,24 +696,38 @@ def trace_pallas(scene: Scene, cfg: IntegratorConfig,
     dy = plane(rays.d[:, 1])
     dz = plane(rays.d[:, 2], fill=1.0)
 
-    tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
-    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
-        k_total, rows_total, _LANES)
-
     vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, vpls, vlp_index)
+    inline = _mix32_key_dtype(key)
+    rb_ = _row_block(tile_rows)
+    if inline:
+        # In-register tape (mix32 only): ship the per-row site keys, not
+        # a [K, n] tape through HBM (bitwise the same stream).
+        keys_u, aff_f = _tape_key_tables(
+            cfg, L, key, sample, lane_offset,
+            n if lane_total is None else lane_total)
+        tape_arg, extra = keys_u, (aff_f,)
+        tape_spec = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
+        tape_arg = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+            k_total, rows_total, _LANES)
+        extra = ()
+        tape_spec = [pl.BlockSpec((k_total, tile_rows, _LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
     kernel = functools.partial(
         _kernel, cfg=cfg, light_idx=tuple(light_idx),
-        n_spheres=scene.num_spheres, n_vpl=n_vpl, use_vpl=use_vpl)
+        n_spheres=scene.num_spheres, n_vpl=n_vpl, use_vpl=use_vpl,
+        tile_rows=tile_rows, inline_tape=inline)
 
-    rb_ = _row_block(tile_rows)
     rr, rg, rb = pl.pallas_call(
         kernel,
         grid=(rows_total // tile_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # scene
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # vpls
-            pl.BlockSpec((k_total, tile_rows, _LANES),
-                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),  # tape
+        ] + tape_spec + [
             rb_, rb_, rb_,                                              # o
             rb_, rb_, rb_,                                              # d
         ],
@@ -614,7 +736,8 @@ def trace_pallas(scene: Scene, cfg: IntegratorConfig,
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
             for _ in range(3)),
         interpret=interpret,
-    )(_scene_table(scene), vpl_tab, tape, ox, oy, oz, dx, dy, dz)
+    )(_scene_table(scene), vpl_tab, tape_arg, *extra,
+      ox, oy, oz, dx, dy, dz)
 
     rad = jnp.stack([rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)],
                     axis=-1)
@@ -648,16 +771,33 @@ def trace_pallas_camera(scene: Scene, cfg: IntegratorConfig,
     n_pad = ((n + tile - 1) // tile) * tile
     rows_total = n_pad // _LANES
 
-    jit_uv = rng.site_uniforms(key, sample, 0, rng.CAM_JITTER, 2, n)
-    if cfg.stratify > 0:
-        from gpu_bidirectional_raytracer_tpu.camera import stratify_jitter
+    inline = _mix32_key_dtype(key)
+    if inline:
+        keys_u, aff_f = _tape_key_tables(cfg, L, key, sample, None, n,
+                                         cam_jitter=True,
+                                         stratify=cfg.stratify)
+        tape_arg, extra = keys_u, (aff_f,)
+        tape_spec = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        jit_uv = rng.site_uniforms(key, sample, 0, rng.CAM_JITTER, 2, n)
+        if cfg.stratify > 0:
+            from gpu_bidirectional_raytracer_tpu.camera import (
+                stratify_jitter,
+            )
 
-        ju, jv = stratify_jitter(jit_uv[0], jit_uv[1], sample, cfg.stratify)
-        jit_uv = jnp.stack([ju, jv])
-    tape = jnp.concatenate([jit_uv, _build_tape(cfg, L, key, sample, n)],
-                           axis=0)
-    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
-        k_total, rows_total, _LANES)
+            ju, jv = stratify_jitter(jit_uv[0], jit_uv[1], sample,
+                                     cfg.stratify)
+            jit_uv = jnp.stack([ju, jv])
+        tape = jnp.concatenate([jit_uv,
+                                _build_tape(cfg, L, key, sample, n)],
+                               axis=0)
+        tape_arg = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+            k_total, rows_total, _LANES)
+        extra = ()
+        tape_spec = [pl.BlockSpec((k_total, tile_rows, _LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
 
     # Camera table [2,16] (see _camera_rays_in_kernel).
     x_hat, y_hat, d_hat = vm.norm(cam.x), vm.norm(cam.y), vm.norm(cam.dir)
@@ -675,7 +815,7 @@ def trace_pallas_camera(scene: Scene, cfg: IntegratorConfig,
         _kernel, cfg=cfg, light_idx=tuple(light_idx),
         n_spheres=scene.num_spheres, n_vpl=n_vpl, use_vpl=use_vpl,
         cam_mode=True, tile_rows=tile_rows, width=width, height=height,
-        cam_rows=cam_rows)
+        cam_rows=cam_rows, inline_tape=inline)
 
     rb_ = _row_block(tile_rows)
     rr, rg, rb = pl.pallas_call(
@@ -684,8 +824,7 @@ def trace_pallas_camera(scene: Scene, cfg: IntegratorConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # scene
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # vpls
-            pl.BlockSpec((k_total, tile_rows, _LANES),
-                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),  # tape
+        ] + tape_spec + [
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # cam
         ],
         out_specs=(rb_, rb_, rb_),
@@ -693,7 +832,7 @@ def trace_pallas_camera(scene: Scene, cfg: IntegratorConfig,
             jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
             for _ in range(3)),
         interpret=interpret,
-    )(_scene_table(scene), vpl_tab, tape, cam_tab)
+    )(_scene_table(scene), vpl_tab, tape_arg, *extra, cam_tab)
 
     rad = jnp.stack([rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)],
                     axis=-1)

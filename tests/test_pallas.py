@@ -169,3 +169,78 @@ class TestPallasCameraMode:
         bad = np.any(err > (2e-3 + 2e-3 * np.abs(ref)), axis=-1)
         assert bad.mean() <= 0.035, (
             f"{bad.mean():.3%} disagree, max {err.max():.4g}")
+
+
+class TestInlineTape:
+    """In-kernel mix32 tape regeneration (round 5): with a mix32 key the
+    megakernel regenerates its random tape in-register from per-row site
+    keys instead of loading a precomputed [K, n] tape from HBM — and the
+    stream is BITWISE the precomputed one (the frozen mix32 contract +
+    `rng.site_uniforms` counter addressing, re-derived in
+    `pallas_trace._inline_trow`). Proven bitwise on the real chip too
+    (round-5 session; u32 arithmetic is backend-exact by construction)."""
+
+    W, H = 32, 16
+
+    def _both(self, fn):
+        from gpu_bidirectional_raytracer_tpu.ops import pallas_trace as mk
+
+        a = np.asarray(fn())
+        orig = mk._mix32_key_dtype
+        mk._mix32_key_dtype = lambda k: False
+        try:
+            b = np.asarray(fn())
+        finally:
+            mk._mix32_key_dtype = orig
+        return a, b
+
+    def test_trace_matches_precomputed_bitwise(self):
+        scene = builtin.cornell_box()
+        cfg = IntegratorConfig()
+        li = static_light_indices(scene)
+        key = rng.make_key(0)
+        sample = jnp.int32(3)
+        rays = _rays(scene, builtin.DEFAULT_CAMERA_ORIG,
+                     builtin.DEFAULT_CAMERA_TARGET, self.W, self.H, key)
+        vpls = light_tracer.trace_light_paths(scene, cfg, li, key, sample)
+        a, b = self._both(lambda: trace_pallas(
+            scene, cfg, li, rays, key, sample, vpls=vpls,
+            vlp_index=jnp.int32(0), interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_camera_mode_stratified_bitwise(self):
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
+            trace_pallas_camera,
+        )
+
+        scene = builtin.cornell_box()
+        cfg = dataclasses.replace(IntegratorConfig(), stratify=4)
+        li = static_light_indices(scene)
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, self.W, self.H)
+        key = rng.make_key(2)
+        a, b = self._both(lambda: trace_pallas_camera(
+            scene, cfg, li, cam, self.W, self.H, key, jnp.int32(6),
+            interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_lane_window_bitwise(self):
+        import jax.tree_util as jtu
+
+        scene = builtin.cornell_box()
+        cfg = IntegratorConfig(use_vpl=False)
+        li = static_light_indices(scene)
+        key = rng.make_key(0)
+        sample = jnp.int32(1)
+        n = self.W * self.H
+        rays = _rays(scene, builtin.DEFAULT_CAMERA_ORIG,
+                     builtin.DEFAULT_CAMERA_TARGET, self.W, self.H, key)
+        full = np.asarray(trace_pallas(scene, cfg, li, rays, key, sample,
+                                       interpret=True))
+        band = jtu.tree_map(lambda x: x[n // 2:], rays)
+        got = np.asarray(trace_pallas(
+            scene, cfg, li, band, key, sample, interpret=True,
+            lane_offset=jnp.int32(n // 2), lane_total=n))
+        np.testing.assert_array_equal(got, full[n // 2:])

@@ -59,8 +59,10 @@ from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
     _LANES,
     _build_tape,
     _kernel,
+    _mix32_key_dtype,
     _row_block,
     _scene_table,
+    _tape_key_tables,
     _tape_rows,
     _vpl_table,
 )
@@ -161,7 +163,8 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 *extra_refs, cfg: IntegratorConfig,
                 light_idx: tuple[int, ...],
                 n_spheres: int, n_vpl: int, use_vpl: bool,
-                fused_loss: bool = False, inv3n: float = 0.0):
+                fused_loss: bool = False, inv3n: float = 0.0,
+                inline_tape: bool = False):
     """One tile: forward recompute (saving per-depth state) + reverse sweep.
 
     Mirrors `pallas_trace._kernel` (non-camera mode) op for op; see module
@@ -253,6 +256,19 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     shape = ox.shape
 
+    if inline_tape:
+        # tape_ref carries the per-row SITE KEYS (mix32 only): the tape
+        # regenerates in-register — see pallas_trace._inline_trow. No
+        # affine table (no camera rows in the diff tape).
+        from gpu_bidirectional_raytracer_tpu.ops.pallas_trace import (
+            _inline_trow,
+        )
+
+        trow_all = _inline_trow(tape_ref, None, shape[0])
+    else:
+        def trow_all(i):
+            return tape_ref[i]
+
     def ld_values(depth, hx, hy, hz, nlx, nly, nlz):
         """VALUE-only NEE + VPL gather at this depth's hit points — the
         radiance the fused forward sweep needs. Op-for-op the same
@@ -271,8 +287,8 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         ld_g = jnp.zeros(shape, f32)
         ld_b = jnp.zeros(shape, f32)
         for li, lig in enumerate(light_idx):
-            u1 = tape_ref[depth * per_depth + li]
-            u2 = tape_ref[depth * per_depth + L + li]
+            u1 = trow_all(depth * per_depth + li)
+            u2 = trow_all(depth * per_depth + L + li)
             lrad = sph(lig, 0)
             lpx, lpy, lpz = sph(lig, 1), sph(lig, 2), sph(lig, 3)
             zz = 1.0 - 2.0 * u1
@@ -426,9 +442,9 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
             rad_b = rad_b + use_f * tp_b * ocz * ld_b
 
         # scatter state update (values only; rad handled in reverse)
-        du1 = tape_ref[depth * per_depth + 2 * L]
-        du2 = tape_ref[depth * per_depth + 2 * L + 1]
-        urr = tape_ref[depth * per_depth + 2 * L + 2]
+        du1 = trow_all(depth * per_depth + 2 * L)
+        du2 = trow_all(depth * per_depth + 2 * L + 1)
+        urr = trow_all(depth * per_depth + 2 * L + 2)
 
         big_x = jnp.abs(nlx) > 0.1
         axx = jnp.where(big_x, f32(0.0), f32(1.0))
@@ -576,9 +592,9 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         use_m = alive2 * diff_m
         live = alive2
 
-        du1 = tape_ref[depth * per_depth + 2 * L]
-        du2 = tape_ref[depth * per_depth + 2 * L + 1]
-        urr = tape_ref[depth * per_depth + 2 * L + 2]
+        du1 = trow_all(depth * per_depth + 2 * L)
+        du2 = trow_all(depth * per_depth + 2 * L + 1)
+        urr = trow_all(depth * per_depth + 2 * L + 2)
 
         # --- recompute scatter internals (needed for both value & adjoint)
         big_x = jnp.abs(nlx) > 0.1
@@ -685,8 +701,8 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
         ld_b = jnp.zeros(shape, f32)
         nee_res = []
         for li, lig in enumerate(light_idx):
-            u1 = tape_ref[depth * per_depth + li]
-            u2 = tape_ref[depth * per_depth + L + li]
+            u1 = trow_all(depth * per_depth + li)
+            u2 = trow_all(depth * per_depth + L + li)
             lrad = sph(lig, 0)
             lpx, lpy, lpz = sph(lig, 1), sph(lig, 2), sph(lig, 3)
             zz = 1.0 - 2.0 * u1
@@ -1102,21 +1118,25 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
 @functools.lru_cache(maxsize=None)
 def _diff_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
                n_spheres: int, n_vpl: int, use_vpl: bool,
-               tile_rows: int, rows_total: int, interpret: bool):
+               tile_rows: int, rows_total: int, interpret: bool,
+               inline_tape: bool = False):
     """custom_vjp over plain float arrays (scene table, vpl table, tape,
     six ray planes) -> three radiance planes. Cached per static config."""
     L = max(len(light_idx), 1)
     _, k_total = _tape_rows(cfg, L)
     n_tiles = rows_total // tile_rows
     rb_ = _row_block(tile_rows)
-    tape_spec = pl.BlockSpec((k_total, tile_rows, _LANES),
-                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_spec = (full if inline_tape else
+                 pl.BlockSpec((k_total, tile_rows, _LANES),
+                              lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM))
 
     def fwd_call(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz):
         kernel = functools.partial(
             _kernel, cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
-            n_vpl=n_vpl, use_vpl=use_vpl)
+            n_vpl=n_vpl, use_vpl=use_vpl, tile_rows=tile_rows,
+            inline_tape=inline_tape)
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -1141,7 +1161,7 @@ def _diff_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
         gr, gg, gb = g
         kernel = functools.partial(
             _bwd_kernel, cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
-            n_vpl=n_vpl, use_vpl=use_vpl)
+            n_vpl=n_vpl, use_vpl=use_vpl, inline_tape=inline_tape)
         nv = max(n_vpl, 1)
         dtab_t, dvpl_t, dox, doy, doz, ddx, ddy, ddz = pl.pallas_call(
             kernel,
@@ -1184,7 +1204,8 @@ def _fused_kernel(scene_ref, vpl_ref, tape_ref,
                   dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
                   dloss_ref, *, cfg: IntegratorConfig,
                   light_idx: tuple[int, ...], n_spheres: int, n_vpl: int,
-                  use_vpl: bool, inv3n: float):
+                  use_vpl: bool, inv3n: float,
+                  inline_tape: bool = False):
     """Fused l2 training-step kernel: `_bwd_kernel` in fused_loss mode
     (targets in, loss partial + gradients out; no separate forward
     kernel)."""
@@ -1196,26 +1217,29 @@ def _fused_kernel(scene_ref, vpl_ref, tape_ref,
                 vm_ref, dloss_ref,
                 cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
                 n_vpl=n_vpl, use_vpl=use_vpl,
-                fused_loss=True, inv3n=inv3n)
+                fused_loss=True, inv3n=inv3n, inline_tape=inline_tape)
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
                 n_spheres: int, n_vpl: int, use_vpl: bool,
                 tile_rows: int, rows_total: int, n_true: int,
-                interpret: bool):
+                interpret: bool, inline_tape: bool = False):
     """The fused loss+grad pallas_call, cached per static config."""
     L = max(len(light_idx), 1)
     _, k_total = _tape_rows(cfg, L)
     n_tiles = rows_total // tile_rows
     rb_ = _row_block(tile_rows)
-    tape_spec = pl.BlockSpec((k_total, tile_rows, _LANES),
-                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_spec = (full if inline_tape else
+                 pl.BlockSpec((k_total, tile_rows, _LANES),
+                              lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM))
     nv = max(n_vpl, 1)
     kernel = functools.partial(
         _fused_kernel, cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
-        n_vpl=n_vpl, use_vpl=use_vpl, inv3n=1.0 / (3.0 * n_true))
+        n_vpl=n_vpl, use_vpl=use_vpl, inv3n=1.0 / (3.0 * n_true),
+        inline_tape=inline_tape)
 
     def call(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz, tr, tg, tb, vm):
         return pl.pallas_call(
@@ -1297,9 +1321,14 @@ def trace_pallas_loss_grad(scene: Scene, cfg: IntegratorConfig,
     tb = plane(target[:, 2])
     vm = plane(jnp.ones((n,), jnp.float32))
 
-    tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
-    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
-        k_total, rows_total, _LANES)
+    inline = _mix32_key_dtype(key)
+    if inline:
+        tape, _ = _tape_key_tables(cfg, L, key, sample, lane_offset,
+                                   n if lane_total is None else lane_total)
+    else:
+        tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
+        tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+            k_total, rows_total, _LANES)
 
     refl = scene.refl
     bidir = cfg.use_vpl and vpls is not None
@@ -1323,7 +1352,7 @@ def trace_pallas_loss_grad(scene: Scene, cfg: IntegratorConfig,
         vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, None, None)
 
     f = _fused_core(cfg, tuple(light_idx), scene.num_spheres, n_vpl,
-                    use_vpl, tile_rows, rows_total, n, interpret)
+                    use_vpl, tile_rows, rows_total, n, interpret, inline)
     (dtab_t, dvpl_t, _dox, _doy, _doz, _ddx, _ddy, _ddz,
      dloss_t) = f(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz,
                   tr, tg, tb, vm)
@@ -1371,13 +1400,18 @@ def trace_pallas_diff(scene: Scene, cfg: IntegratorConfig,
     dy = plane(rays.d[:, 1])
     dz = plane(rays.d[:, 2], fill=1.0)
 
-    tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
-    tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
-        k_total, rows_total, _LANES)
+    inline = _mix32_key_dtype(key)
+    if inline:
+        tape, _ = _tape_key_tables(cfg, L, key, sample, lane_offset,
+                                   n if lane_total is None else lane_total)
+    else:
+        tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
+        tape = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(
+            k_total, rows_total, _LANES)
 
     vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, vpls, vlp_index)
     f = _diff_core(cfg, tuple(light_idx), scene.num_spheres, n_vpl, use_vpl,
-                   tile_rows, rows_total, interpret)
+                   tile_rows, rows_total, interpret, inline)
     rr, rg, rb = f(_scene_table(scene), vpl_tab, tape,
                    ox, oy, oz, dx, dy, dz)
     rad = jnp.stack([rr.reshape(-1), rg.reshape(-1), rb.reshape(-1)],

@@ -454,9 +454,13 @@ def _kernel(scene_ref, vpl_ref, tape_ref, *args,
         return scene_ref[s, k]
 
     if inline_tape:
-        # tape_ref carries the per-row SITE KEYS; args lead with the
-        # affine table. The tape regenerates in-register (_inline_trow).
-        aff_ref, args = args[0], args[1:]
+        # tape_ref carries the per-row SITE KEYS; in camera mode args
+        # lead with the affine table (stratified-jitter map for the cam
+        # rows). The tape regenerates in-register (_inline_trow).
+        if cam_mode:
+            aff_ref, args = args[0], args[1:]
+        else:
+            aff_ref = None   # no camera rows: identity affine
         trow_all = _inline_trow(tape_ref, aff_ref, tile_rows)
     else:
         def trow_all(i):
@@ -617,6 +621,8 @@ def _inline_trow(keys_ref, aff_ref, tile_rows: int):
         # < 2^23 so the i32 hop is exact.
         u = ((x >> u32(9)).astype(jnp.int32).astype(jnp.float32)
              * jnp.float32(2.0 ** -23))
+        if aff_ref is None:   # no camera rows: identity affine
+            return u
         return aff_ref[i, 0] + aff_ref[i, 1] * u
 
     return trow
@@ -701,13 +707,13 @@ def trace_pallas(scene: Scene, cfg: IntegratorConfig,
     rb_ = _row_block(tile_rows)
     if inline:
         # In-register tape (mix32 only): ship the per-row site keys, not
-        # a [K, n] tape through HBM (bitwise the same stream).
-        keys_u, aff_f = _tape_key_tables(
+        # a [K, n] tape through HBM (bitwise the same stream). No affine
+        # table: stratification only applies to camera rows.
+        tape_arg, _ = _tape_key_tables(
             cfg, L, key, sample, lane_offset,
             n if lane_total is None else lane_total)
-        tape_arg, extra = keys_u, (aff_f,)
-        tape_spec = [pl.BlockSpec(memory_space=pltpu.VMEM),
-                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        extra = ()
+        tape_spec = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     else:
         tape = _build_tape(cfg, L, key, sample, n, lane_offset, lane_total)
         tape_arg = jnp.pad(tape, ((0, 0), (0, n_pad - n))).reshape(

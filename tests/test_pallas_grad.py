@@ -286,3 +286,52 @@ class TestFusedStep:
             scale = max(np.abs(a).max(), 1e-12)
             np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3 * scale,
                                        err_msg=f)
+
+
+class TestInlineTapeDiff:
+    """In-kernel mix32 tape in the DIFFERENTIABLE kernels (round 5):
+    with a mix32 key, trace_pallas_diff / trace_pallas_loss_grad ship
+    per-row site keys and regenerate the tape in-register in BOTH
+    sweeps — loss and every gradient bitwise-equal to the
+    precomputed-tape path (proven on-chip this session too)."""
+
+    def test_fused_and_diff_bitwise(self):
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu import rng as rng_mod
+        from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+        from gpu_bidirectional_raytracer_tpu.ops import pallas_trace as mk
+
+        scene = builtin.cornell_box()
+        w, h = 16, 16
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        cfg = dataclasses.replace(IntegratorConfig(), max_depth=2,
+                                  vis_grad_tau=2.0)
+        li = static_light_indices(scene)
+        key = rng_mod.make_key(3)        # mix32 -> inline
+        target = jnp.full((h, w, 3), 0.2)
+
+        def run():
+            # spp=1 routes to the fused kernel; spp=2 to the custom_vjp
+            # diff kernel — cover both.
+            l1, g1 = G.render_loss_grad(scene, cam, key, target, cfg,
+                                        w, h, li, 1, "l2", "pallas")
+            l2, g2 = G.render_loss_grad(scene, cam, key, target, cfg,
+                                        w, h, li, 2, "l2", "pallas")
+            return l1, g1, l2, g2
+
+        li1, gi1, li2, gi2 = run()
+        orig = mk._mix32_key_dtype
+        mk._mix32_key_dtype = lambda k: False
+        try:
+            lp1, gp1, lp2, gp2 = run()
+        finally:
+            mk._mix32_key_dtype = orig
+        assert float(li1) == float(lp1)
+        assert float(li2) == float(lp2)
+        for gi, gp in ((gi1, gp1), (gi2, gp2)):
+            for f in ("p", "rad", "c", "e"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(gi, f)), np.asarray(getattr(gp, f)),
+                    err_msg=f)

@@ -493,15 +493,16 @@ def render_loss_grad(scene: Scene, cam: Camera, key: Array, target: Array,
       variance-biased under resampling).
     """
     # Fused single-kernel training step (VERDICT r4 #3): when the config
-    # allows it, the l2 pallas step runs loss+grads in ONE kernel — the
-    # adjoint's own forward sweep supplies the radiance, so the separate
-    # forward pallas call (0.634 ms of the 2.163 ms step, artifacts/
-    # ADJOINT_CENSUS.json) disappears. Estimator/gradients identical to
-    # the unfused path (tests/test_pallas_grad.py::TestFusedStep).
-    if (loss == "l2" and backend == "pallas" and spp == 1
+    # allows it, the l2/log pallas step runs loss+grads in ONE kernel —
+    # the adjoint's own forward sweep supplies the radiance, so the
+    # separate forward pallas call (0.634 ms of the 2.163 ms step,
+    # artifacts/ADJOINT_CENSUS.json) disappears. Estimator/gradients
+    # identical to the unfused path (tests/test_pallas_grad.py::
+    # TestFusedStep).
+    if (loss in ("l2", "log") and backend == "pallas" and spp == 1
             and cfg.sil_grad_tau == 0.0 and scene.num_spheres <= 64):
         return _render_loss_grad_fused(scene, cam, key, target, cfg,
-                                       width, height, light_idx)
+                                       width, height, light_idx, loss)
 
     if loss == "l2_unbiased":
         key_b = jax.random.fold_in(key, jnp.uint32(0x5EED))
@@ -530,8 +531,9 @@ def render_loss_grad(scene: Scene, cam: Camera, key: Array, target: Array,
 def _render_loss_grad_fused(scene: Scene, cam: Camera, key: Array,
                             target: Array, cfg: IntegratorConfig,
                             width: int, height: int,
-                            light_idx: tuple[int, ...]):
-    """The fused l2 pallas training step (see router in
+                            light_idx: tuple[int, ...],
+                            loss: str = "l2"):
+    """The fused l2/log pallas training step (see router in
     `render_loss_grad`): one kernel for loss + direct gradients
     (`ops.pallas_grad.trace_pallas_loss_grad`), with the VPL-buffer
     cotangent pulled through `trace_light_paths` so the light-subpath
@@ -561,16 +563,16 @@ def _render_loss_grad_fused(scene: Scene, cam: Camera, key: Array,
 
         _, pull_lt = jax.vjp(lt_float, scene.p, scene.rad, scene.e,
                              scene.c)
-        loss, g, dvpl = trace_pallas_loss_grad(
+        loss_v, g, dvpl = trace_pallas_loss_grad(
             scene, cfg, light_idx, rays, key, s, tgt,
-            vpls=vpls, vlp_index=jnp.int32(0))
+            vpls=vpls, vlp_index=jnp.int32(0), loss=loss)
         dp2, drad2, de2, dc2 = pull_lt(dvpl)
         g = g.replace(p=g.p + dp2, rad=g.rad + drad2,
                       e=g.e + de2, c=g.c + dc2)
     else:
-        loss, g, _ = trace_pallas_loss_grad(
-            scene, cfg, light_idx, rays, key, s, tgt)
-    return loss, g
+        loss_v, g, _ = trace_pallas_loss_grad(
+            scene, cfg, light_idx, rays, key, s, tgt, loss=loss)
+    return loss_v, g
 
 
 def pixel_grad_fd(scene: Scene, render_fn: Callable[[Scene], Array],

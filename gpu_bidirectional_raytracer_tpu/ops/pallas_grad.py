@@ -164,7 +164,7 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 light_idx: tuple[int, ...],
                 n_spheres: int, n_vpl: int, use_vpl: bool,
                 fused_loss: bool = False, inv3n: float = 0.0,
-                inline_tape: bool = False):
+                inline_tape: bool = False, loss_kind: str = "l2"):
     """One tile: forward recompute (saving per-depth state) + reverse sweep.
 
     Mirrors `pallas_trace._kernel` (non-camera mode) op for op; see module
@@ -509,18 +509,33 @@ def _bwd_kernel(scene_ref, vpl_ref, tape_ref,
 
     # ---------------- reverse sweep -------------------------------------
     if fused_loss:
-        # gr/gg/gb refs carry the TARGET; form the l2 cotangent here.
-        # vm masks padded lanes (they trace garbage rays).
+        # gr/gg/gb refs carry the TARGET; form the loss cotangent here.
+        # vm masks padded lanes (they trace garbage rays). loss_kind
+        # 'l2' -> mean((rad - t)^2); 'log' -> mean((log1p(rad) -
+        # log1p(t))^2) (diff.gradients.log_loss) with the targets
+        # shipped PRE-log1p'd by trace_pallas_loss_grad, cotangent
+        # 2 e / (1 + rad) / (3n) by the chain rule (radiance is
+        # non-negative by construction, so log1p is total).
         vm_ref, dloss_ref = extra_refs
         vm = vm_ref[:]
-        er = (rad_r - gr_ref[:]) * vm
-        eg = (rad_g - gg_ref[:]) * vm
-        eb = (rad_b - gb_ref[:]) * vm
+        if loss_kind == "log":
+            er = (jnp.log1p(rad_r) - gr_ref[:]) * vm
+            eg = (jnp.log1p(rad_g) - gg_ref[:]) * vm
+            eb = (jnp.log1p(rad_b) - gb_ref[:]) * vm
+        else:
+            er = (rad_r - gr_ref[:]) * vm
+            eg = (rad_g - gg_ref[:]) * vm
+            eb = (rad_b - gb_ref[:]) * vm
         part = jnp.sum(er * er + eg * eg + eb * eb)
         cid16 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
         dloss_ref[...] = jnp.where(cid16 == 0, part, 0.0)
         k2g = f32(2.0 * inv3n)
-        gr, gg, gb = er * k2g, eg * k2g, eb * k2g
+        if loss_kind == "log":
+            gr = er * k2g / (1.0 + rad_r)
+            gg = eg * k2g / (1.0 + rad_g)
+            gb = eb * k2g / (1.0 + rad_b)
+        else:
+            gr, gg, gb = er * k2g, eg * k2g, eb * k2g
     else:
         gr, gg, gb = gr_ref[:], gg_ref[:], gb_ref[:]
     bo_x = jnp.zeros(shape, f32); bo_y = jnp.zeros(shape, f32)
@@ -1205,10 +1220,10 @@ def _fused_kernel(scene_ref, vpl_ref, tape_ref,
                   dloss_ref, *, cfg: IntegratorConfig,
                   light_idx: tuple[int, ...], n_spheres: int, n_vpl: int,
                   use_vpl: bool, inv3n: float,
-                  inline_tape: bool = False):
-    """Fused l2 training-step kernel: `_bwd_kernel` in fused_loss mode
-    (targets in, loss partial + gradients out; no separate forward
-    kernel)."""
+                  inline_tape: bool = False, loss_kind: str = "l2"):
+    """Fused training-step kernel (l2 or log loss): `_bwd_kernel` in
+    fused_loss mode (targets in, loss partial + gradients out; no
+    separate forward kernel)."""
     _bwd_kernel(scene_ref, vpl_ref, tape_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tr_ref, tg_ref, tb_ref,
@@ -1217,14 +1232,16 @@ def _fused_kernel(scene_ref, vpl_ref, tape_ref,
                 vm_ref, dloss_ref,
                 cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
                 n_vpl=n_vpl, use_vpl=use_vpl,
-                fused_loss=True, inv3n=inv3n, inline_tape=inline_tape)
+                fused_loss=True, inv3n=inv3n, inline_tape=inline_tape,
+                loss_kind=loss_kind)
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
                 n_spheres: int, n_vpl: int, use_vpl: bool,
                 tile_rows: int, rows_total: int, n_true: int,
-                interpret: bool, inline_tape: bool = False):
+                interpret: bool, inline_tape: bool = False,
+                loss_kind: str = "l2"):
     """The fused loss+grad pallas_call, cached per static config."""
     L = max(len(light_idx), 1)
     _, k_total = _tape_rows(cfg, L)
@@ -1239,7 +1256,7 @@ def _fused_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
     kernel = functools.partial(
         _fused_kernel, cfg=cfg, light_idx=light_idx, n_spheres=n_spheres,
         n_vpl=n_vpl, use_vpl=use_vpl, inv3n=1.0 / (3.0 * n_true),
-        inline_tape=inline_tape)
+        inline_tape=inline_tape, loss_kind=loss_kind)
 
     def call(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz, tr, tg, tb, vm):
         return pl.pallas_call(
@@ -1273,19 +1290,23 @@ def _fused_core(cfg: IntegratorConfig, light_idx: tuple[int, ...],
 
 @functools.partial(jax.jit, static_argnames=("cfg", "light_idx",
                                              "tile_rows", "interpret",
-                                             "lane_total"))
+                                             "lane_total", "loss"))
 def trace_pallas_loss_grad(scene: Scene, cfg: IntegratorConfig,
                            light_idx: tuple[int, ...], rays: Rays,
                            key: Array, sample: Array, target: Array,
                            vpls: VplBuffer | None = None,
                            vlp_index: Array | None = None,
                            tile_rows: int = 16, interpret: bool = False,
-                           lane_offset=None, lane_total: int | None = None):
-    """The FUSED l2 training step: loss + scene gradients from ONE pallas
+                           lane_offset=None, lane_total: int | None = None,
+                           loss: str = "l2"):
+    """The FUSED training step: loss + scene gradients from ONE pallas
     kernel (VERDICT r4 #3's census lever — the separate forward kernel
     was 0.634 ms of pure recompute in the 2.163 ms step; here the
-    adjoint kernel's own forward sweep supplies the radiance, the l2
+    adjoint kernel's own forward sweep supplies the radiance, the loss
     cotangent forms in-kernel, and the fwd pallas_call disappears).
+    ``loss`` is ``'l2'`` or ``'log'`` (diff.gradients.log_loss — the
+    better-conditioned fitting loss; its pointwise cotangent fuses the
+    same way, with the targets shipped pre-log1p'd).
 
     Estimator and gradient policy identical to `jax.grad` of the l2
     loss over `trace_pallas_diff` (same tape, same adjoint code —
@@ -1316,6 +1337,10 @@ def trace_pallas_loss_grad(scene: Scene, cfg: IntegratorConfig,
     dx = plane(rays.d[:, 0])
     dy = plane(rays.d[:, 1])
     dz = plane(rays.d[:, 2], fill=1.0)
+    if loss == "log":
+        target = jnp.log1p(target)  # kernel compares against log1p(rad)
+    elif loss != "l2":
+        raise ValueError(f"fused step supports loss 'l2'/'log', got {loss!r}")
     tr = plane(target[:, 0])
     tg = plane(target[:, 1])
     tb = plane(target[:, 2])
@@ -1352,7 +1377,8 @@ def trace_pallas_loss_grad(scene: Scene, cfg: IntegratorConfig,
         vpl_tab, n_vpl, use_vpl = _vpl_table(cfg, None, None)
 
     f = _fused_core(cfg, tuple(light_idx), scene.num_spheres, n_vpl,
-                    use_vpl, tile_rows, rows_total, n, interpret, inline)
+                    use_vpl, tile_rows, rows_total, n, interpret, inline,
+                    loss)
     (dtab_t, dvpl_t, _dox, _doy, _doz, _ddx, _ddy, _ddz,
      dloss_t) = f(tab, vpl_tab, tape, ox, oy, oz, dx, dy, dz,
                   tr, tg, tb, vm)

@@ -258,6 +258,38 @@ class TestFusedStep:
             np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3 * scale,
                                        err_msg=f"{f} (vis_tau={vis_tau})")
 
+    def test_log_loss_matches_xla_autodiff(self):
+        """Round-5 extension of the fused step beyond l2: the log loss
+        (diff.gradients.log_loss, the better-conditioned fitting loss)
+        fuses the same way — targets pre-log1p'd, cotangent
+        2 e / (1 + rad) / (3n) formed in-kernel."""
+        import dataclasses
+
+        from gpu_bidirectional_raytracer_tpu.diff import gradients as G
+
+        scene = builtin.cornell_box()
+        w, h = 16, 16
+        cam = Camera.make(builtin.DEFAULT_CAMERA_ORIG,
+                          builtin.DEFAULT_CAMERA_TARGET, w, h)
+        cfg = dataclasses.replace(IntegratorConfig(), max_depth=2)
+        li = static_light_indices(scene)
+        key = jax.random.key(3)
+        target = jnp.full((h, w, 3), 0.2)
+
+        # routed automatically: log + pallas + spp 1 + sil off
+        l_f, g_f = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                      li, 1, "log", "pallas")
+        l_x, g_x = G.render_loss_grad(scene, cam, key, target, cfg, w, h,
+                                      li, 1, "log", "xla")
+        assert abs(float(l_f) - float(l_x)) <= 1e-5 * max(
+            1.0, abs(float(l_x)))
+        for f in ("p", "rad", "c", "e"):
+            a = np.asarray(getattr(g_x, f))
+            b = np.asarray(getattr(g_f, f))
+            scale = max(np.abs(a).max(), 1e-12)
+            np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3 * scale,
+                                       err_msg=f)
+
     def test_unidirectional_config(self):
         """No-VPL estimator: the fused kernel's bidir branches are off
         and no light-subpath pullback runs."""

@@ -172,6 +172,15 @@ def main():
     tf = results["threefry"]
     dtape = tf["tape"] - mx["tape"]
     out["tape_probe"] = {
+        # Since the in-kernel mix32 tape (round 5), the mix32 step
+        # regenerates its tape IN-REGISTER while threefry still walks
+        # the precomputed-tape path — so the threefry-vs-mix32 deltas
+        # now mix (tape cost) with (inline-vs-HBM-tape kernel
+        # difference) and the tapes_in_* ratios are no longer a pure
+        # tape-multiplicity measurement. The round-5 k~1.13 reading was
+        # taken before the inline tape landed (both impls precomputed).
+        "note": "mix32 tape is in-kernel; ratios mix tape cost with "
+                "kernel-path difference since round 5's inline tape",
         "tape_ms_mix32": round(mx["tape"] * 1e3, 3),
         "tape_ms_threefry": round(tf["tape"] * 1e3, 3),
         "step_ms_threefry": round(tf["step"] * 1e3, 3),

@@ -368,14 +368,21 @@ def render_radiance_lanes(scene: Scene, cam: Camera, key: Array,
                           light_idx: tuple[int, ...], spp: int = 1,
                           backend: str = "xla", lane_offset=None,
                           lane_count: int | None = None,
-                          lane_total: int | None = None) -> Array:
+                          lane_total: int | None = None,
+                          interpret: bool = False) -> Array:
     """Lane-windowed core of `render_radiance`: renders global lanes
     ``[lane_offset, lane_offset + lane_count)`` of a ``lane_total``-lane
     frame, returning ``[lane_count, 3]``. Every random draw is a window of
     the global tape (`rng.site_uniforms`), so a banded/sharded render is
     bitwise-equal to the monolithic one — this is the per-shard body of
     `parallel.mesh.render_loss_grad_sharded`. ``lane_offset`` may be a
-    traced scalar (e.g. ``axis_index * shard_n`` under shard_map)."""
+    traced scalar (e.g. ``axis_index * shard_n`` under shard_map).
+
+    ``interpret=True`` forces the pallas kernels into interpret mode;
+    callers whose devices differ from `jax.default_backend()` (a CPU
+    mesh under a TPU-pinned default, as in the driver's virtual-device
+    dry run) must pass it — the kernels' own auto-detection only sees
+    the default backend (False keeps that auto behavior)."""
     from gpu_bidirectional_raytracer_tpu.integrators import light_tracer
 
     n_frame = width * height
@@ -425,6 +432,7 @@ def render_radiance_lanes(scene: Scene, cam: Camera, key: Array,
             rad = trace_pallas_diff(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
                                     vlp_index=vlp_index,
+                                    interpret=interpret,
                                     lane_offset=lane_offset,
                                     lane_total=lane_total)
         elif use_bounce_diff:
@@ -434,6 +442,7 @@ def render_radiance_lanes(scene: Scene, cam: Camera, key: Array,
             rad = trace_bounce_diff(scene, cfg, light_idx, rays, key,
                                     jnp.int32(s), vpls=vpls,
                                     vlp_index=vlp_index,
+                                    interpret=interpret,
                                     lane_offset=lane_offset,
                                     lane_total=lane_total,
                                     frame_dims=(None if lane_offset

@@ -94,6 +94,9 @@ def trace_pallas_sharded(scene, cfg, light_idx, rays, key, sample,
         raise ValueError(f"ray count {n} not divisible by mesh size "
                          f"{mesh.size}; pad the frame")
     shard_n = n // mesh.size
+    # Follow the MESH devices, not the default backend (a CPU mesh under
+    # a TPU-pinned default must interpret).
+    interpret = interpret or mesh.devices.flat[0].platform != "tpu"
 
     def local(scene, rays_shard, key, sample, vpls, vlp_index):
         off = jax.lax.axis_index(axis) * shard_n
@@ -143,6 +146,11 @@ def render_loss_grad_sharded(scene, cam, key, target, cfg, width: int,
                          f"{mesh.size}; pad the frame")
     shard_n = n // mesh.size
     loss_f = {"l2": G.l2_loss, "log": G.log_loss}[loss]
+    # The kernels' interpret auto-detection only sees the DEFAULT
+    # backend; follow the mesh's actual devices instead (a CPU mesh
+    # under a TPU-pinned default — the driver's virtual-device dry run —
+    # must interpret).
+    interpret = mesh.devices.flat[0].platform != "tpu"
 
     def local(scene, key, target_shard):
         off = jax.lax.axis_index(axis) * shard_n
@@ -155,7 +163,7 @@ def render_loss_grad_sharded(scene, cam, key, target, cfg, width: int,
             rad = G.render_radiance_lanes(
                 sc, cam, key, cfg, width, height, light_idx, spp,
                 backend, lane_offset=off, lane_count=shard_n,
-                lane_total=n)
+                lane_total=n, interpret=interpret)
             # Per-shard mean over its lanes == global mean once psum'd
             # with equal shard sizes (divide by mesh size below).
             return loss_f(rad, target_shard.reshape(shard_n, 3))
@@ -249,6 +257,9 @@ def trace_pallas_bounce_sharded(scene, cfg, light_idx, rays, key, sample,
         raise ValueError(f"ray count {n} not divisible by mesh size "
                          f"{mesh.size}; pad the frame")
     shard_n = n // mesh.size
+    # Follow the MESH devices, not the default backend (a CPU mesh under
+    # a TPU-pinned default must interpret).
+    interpret = interpret or mesh.devices.flat[0].platform != "tpu"
 
     def local(scene, rays_shard, key, sample, vpls, vlp_index):
         off = jax.lax.axis_index(axis) * shard_n

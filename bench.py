@@ -189,6 +189,12 @@ def main() -> None:
         # min-of-reps under-reads the step ~2x at this scale — the
         # long leg's device time must clearly exceed the ~35-50 ms
         # tunnel dispatch variance.
+        # The rep keys are salted with HOST entropy: with fixed keys a
+        # REPEAT bench run re-dispatches identical (args, executable)
+        # pairs, which the tunnel memoizes server-side — a second run
+        # of the same build read the 1.5 ms step as 0.86 (measured).
+        salt = jnp.uint32(time.time_ns() & 0xFFFFFFFF)
+
         @jax.jit
         def loop(key, n):
             def body(i, acc):
@@ -204,7 +210,8 @@ def main() -> None:
         for r in range(reps * 3):
             if len(deltas) >= reps:
                 break
-            k = jax.random.fold_in(key, jnp.uint32(0xB0 + r))
+            k = jax.random.fold_in(jax.random.fold_in(key, salt),
+                                   jnp.uint32(0xB0 + r))
             ts = []
             for n in (n_short, n_long):
                 t0 = time.perf_counter()

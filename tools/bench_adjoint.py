@@ -53,13 +53,20 @@ def delta_time(loop, key, n_short, n_long, reps=3):
     (2, 66) at the step scale repeats to <1%; (4, 36) did not — the
     first cut of this tool under-read the step by ~2x). Uses the MEDIAN
     of the positive per-rep deltas: min-of-reps biases low when the
-    short leg lands on a slow dispatch."""
+    short leg lands on a slow dispatch.
+
+    Rep keys are salted with HOST entropy: with fixed keys a REPEAT run
+    of the same build re-dispatches identical (args, executable) pairs,
+    which the tunnel memoizes server-side and re-times as ~0 (a second
+    bench run of one build read the 1.5 ms step as 0.86 ms)."""
     jax.block_until_ready(loop(key, jnp.int32(2)))
+    salt = jnp.uint32(time.time_ns() & 0xFFFFFFFF)
     deltas = []
     for r in range(reps * 3):          # tunnel can wedge for stretches;
         if len(deltas) >= reps:        # collect `reps` positive deltas
             break
-        k = jax.random.fold_in(key, jnp.uint32(0xC0 + r))
+        k = jax.random.fold_in(jax.random.fold_in(key, salt),
+                               jnp.uint32(0xC0 + r))
         ts = []
         for n in (n_short, n_long):
             t0 = time.perf_counter()

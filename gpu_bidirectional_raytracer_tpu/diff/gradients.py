@@ -347,8 +347,8 @@ def render_radiance(scene: Scene, cam: Camera, key: Array,
 
     ``backend='pallas'`` swaps the XLA tracer for the fused megakernel
     with its hand-written pallas VJP (`ops.pallas_grad`): same estimator
-    and tape, fwd+bwd 10.0ms vs 24.4ms at cornell 512x512 on v5e (the XLA
-    path is at its remat bound), including the ``vis_grad_tau``
+    and tape, fwd+bwd 1.57ms vs 15.9ms at cornell 512x512 on v5e (the
+    XLA path is at its remat bound), including the ``vis_grad_tau``
     straight-through visibility carrier. Above the 64-sphere unroll cap it
     routes to the facts+re-walk hybrid (`ops.pallas_bounce_grad`): same
     estimator, pallas supplies the detached discrete facts, the scan-free
